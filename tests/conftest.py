@@ -1,0 +1,26 @@
+"""Test environment setup.
+
+Tests run on the CPU backend by default (config 1 "CPU-runnable",
+BASELINE.json:7) with 8 virtual devices so the distributed paths
+(SURVEY.md §4 "Distributed" row) exercise real shard_map/pjit sharding
+without a pod. Set TPUJPEG_TEST_TPU=1 to run on real TPU hardware.
+"""
+
+import os
+
+if not os.environ.get("TPUJPEG_TEST_TPU"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    import numpy as np
+
+    return np.random.default_rng(1234)

@@ -1,0 +1,92 @@
+"""Unit tests: marker parser + segment scanner (SURVEY.md §4 unit rows)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+from corpus import make_jpeg  # noqa: E402
+
+import tpujpeg.bitstream as bs  # noqa: E402
+from tpujpeg.errors import JpegSyntaxError, JpegUnsupportedError  # noqa: E402
+
+
+def test_parse_baseline_420():
+    data = make_jpeg(64, 48, subsampling=2)
+    j = bs.parse(data)
+    f = j.frame
+    assert (f.width, f.height) == (64, 48)
+    assert not f.progressive
+    assert f.n_components == 3
+    y, cb, cr = f.components
+    assert (y.h, y.v) == (2, 2)
+    assert (cb.h, cb.v) == (1, 1)
+    assert f.mcus_x == 4 and f.mcus_y == 3
+    assert y.padded_wb == 8 and y.padded_hb == 6
+    assert cb.dwidth == 32 and cb.dheight == 24
+    assert len(j.scans) == 1
+    assert j.scans[0].interleaved
+    assert set(j.qtables) >= {0, 1} or len(j.qtables) >= 1
+
+
+def test_parse_progressive_has_multiple_scans():
+    data = make_jpeg(64, 48, subsampling=2, progressive=True)
+    j = bs.parse(data)
+    assert j.frame.progressive
+    assert len(j.scans) > 3
+    # First scan must be the DC scan (T.81 §G.1: DC before AC).
+    assert j.scans[0].ss == 0
+    # AC scans are single-component.
+    for s in j.scans:
+        if s.ss > 0:
+            assert s.n_comps == 1
+
+
+def test_restart_offsets_and_segments():
+    data = make_jpeg(129, 65, subsampling=2, restart_blocks=4)
+    j = bs.parse(data)
+    scan = j.scans[0]
+    assert j.restart_interval == 4
+    total_mcus = j.frame.mcus_x * j.frame.mcus_y
+    expected_segments = -(-total_mcus // 4)
+    assert len(scan.rst_offsets) == expected_segments - 1
+    segs = bs.split_restart_segments(scan)
+    assert len(segs) == expected_segments
+    # Destuffing removes exactly one 0x00 per stuffed 0xFF and the two
+    # RST marker bytes per boundary.
+    n_stuffed = sum(
+        1
+        for i in range(len(scan.data) - 1)
+        if scan.data[i] == 0xFF and scan.data[i + 1] == 0x00
+    )
+    assert sum(len(s) for s in segs) == (
+        len(scan.data) - n_stuffed - 2 * len(scan.rst_offsets)
+    )
+
+
+def test_bad_soi_rejected():
+    with pytest.raises(JpegSyntaxError):
+        bs.parse(b"\x89PNG\r\n")
+
+
+def test_truncated_rejected():
+    data = make_jpeg(64, 48)
+    with pytest.raises(Exception):
+        bs.parse(data[:20])
+
+
+def test_unsupported_sof_rejected():
+    data = bytearray(make_jpeg(16, 16))
+    # Rewrite SOF0 marker to SOF3 (lossless).
+    i = data.find(b"\xff\xc0")
+    assert i > 0
+    data[i + 1] = 0xC3
+    with pytest.raises(JpegUnsupportedError):
+        bs.parse(bytes(data))
+
+
+def test_zigzag_is_involution_pair():
+    assert np.array_equal(bs.ZIGZAG[bs.NATURAL_TO_ZIGZAG], np.arange(64))
+    assert np.array_equal(bs.NATURAL_TO_ZIGZAG[bs.ZIGZAG], np.arange(64))

@@ -1,0 +1,48 @@
+"""tpujpeg — a TPU-native JPEG decode engine.
+
+Brand-new JAX/XLA/Pallas implementation with the capability surface of
+xinfushe/oclJPEGDecoder's OpenCL pipeline (see SURVEY.md; the reference
+checkout is an empty mount, so the capability contract is BASELINE.json's
+north star + ITU-T T.81, validated bit-exactly against libjpeg/PIL).
+
+Public API:
+    decode(data: bytes) -> np.ndarray        # one image
+    decode_file(path) -> np.ndarray
+    decode_batch(list[bytes]) -> list        # batched, fault-isolated
+    DecodeConfig, DecodeStats, JpegError
+"""
+
+from .config import DEFAULT_CONFIG, DecodeConfig
+from .decoder import decode, decode_file
+from .errors import (
+    JpegError,
+    JpegHuffmanError,
+    JpegSyntaxError,
+    JpegTruncatedError,
+    JpegUnsupportedError,
+)
+from .stats import DecodeStats
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "decode",
+    "decode_file",
+    "DecodeConfig",
+    "DEFAULT_CONFIG",
+    "DecodeStats",
+    "JpegError",
+    "JpegSyntaxError",
+    "JpegUnsupportedError",
+    "JpegTruncatedError",
+    "JpegHuffmanError",
+    "__version__",
+]
+
+
+def decode_batch(datas, config=DEFAULT_CONFIG, **kw):
+    """Batched decode with per-image fault isolation (lazy import to keep
+    the base import light)."""
+    from .parallel import batch as _batch
+
+    return _batch.decode_batch(datas, config, **kw)

@@ -9,12 +9,17 @@ without a pod. Set TPUJPEG_TEST_TPU=1 to run on real TPU hardware.
 import os
 
 if not os.environ.get("TPUJPEG_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # The axon TPU plugin's sitecustomize forces jax_platforms=axon via
+    # jax.config (which beats the JAX_PLATFORMS env var), so the CPU
+    # override must also go through jax.config.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,89 @@
+"""Native C++ entropy decoder vs the pure-Python oracle (SURVEY.md §4:
+the M2 native path must reproduce M0's coefficients exactly; full-decode
+bit-exactness vs PIL then follows from the shared transform stage)."""
+
+import numpy as np
+import pytest
+
+from corpus import make_jpeg, pil_decode
+
+from tpujpeg import bitstream, huffman
+from tpujpeg.config import DecodeConfig
+from tpujpeg.decoder import decode
+from tpujpeg.errors import JpegError, JpegTruncatedError
+from tpujpeg.native import entropy as native_entropy
+
+
+CASES = [
+    dict(w=64, h=48, subsampling=2),
+    dict(w=129, h=65, subsampling=2),            # odd dims, MCU padding
+    dict(w=96, h=80, subsampling=1),             # 4:2:2
+    dict(w=96, h=80, subsampling=0),             # 4:4:4
+    dict(w=120, h=88, subsampling=2, restart_blocks=5),   # restart markers
+    dict(w=200, h=144, subsampling=2, restart_rows=1),
+    dict(w=64, h=64, subsampling=2, mode="L"),   # grayscale
+    dict(w=160, h=112, subsampling=2, progressive=True),
+    dict(w=128, h=96, subsampling=0, progressive=True),
+    dict(w=144, h=96, subsampling=2, progressive=True, restart_blocks=7),
+    dict(w=80, h=56, subsampling=2, quality=25, kind="noise"),
+    dict(w=80, h=56, subsampling=2, quality=98),
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=[str(i) for i in range(len(CASES))])
+def test_native_matches_python_oracle(case):
+    kw = dict(case)
+    w, h = kw.pop("w"), kw.pop("h")
+    data = make_jpeg(w, h, seed=3, **kw)
+    jpeg = bitstream.parse(data)
+
+    ref = huffman.decode_all_scans(jpeg)
+    got = native_entropy.decode_all_scans(jpeg)
+    for ci, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_array_equal(a, b, err_msg=f"component {ci}")
+
+
+@pytest.mark.parametrize("threads", [1, 4])
+def test_native_threaded_restart_segments(threads):
+    data = make_jpeg(320, 240, seed=9, subsampling=2, restart_rows=1)
+    jpeg = bitstream.parse(data)
+    ref = huffman.decode_all_scans(jpeg)
+    got = native_entropy.decode_all_scans(jpeg, n_threads=threads)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_full_decode_bit_exact():
+    data = make_jpeg(200, 120, seed=5, subsampling=2, restart_rows=1)
+    out = decode(data, DecodeConfig(entropy_engine="native"))
+    np.testing.assert_array_equal(out, pil_decode(data))
+
+
+def test_native_truncated_raises():
+    data = make_jpeg(128, 96, seed=1, subsampling=2)
+    jpeg = bitstream.parse(data)
+    # Chop most of the scan payload off.
+    scan = jpeg.scans[0]
+    scan.data = scan.data[: len(scan.data) // 4]
+    with pytest.raises(JpegError):
+        native_entropy.decode_all_scans(jpeg)
+
+
+def test_native_garbage_scan_raises():
+    data = make_jpeg(64, 64, seed=2, subsampling=2)
+    jpeg = bitstream.parse(data)
+    jpeg.scans[0].data = bytes(len(jpeg.scans[0].data))  # all zero bits
+    with pytest.raises(JpegError):
+        native_entropy.decode_all_scans(jpeg)
+
+
+def test_destuff_segments_matches_python():
+    data = make_jpeg(200, 144, seed=4, subsampling=2, restart_rows=1)
+    jpeg = bitstream.parse(data)
+    scan = jpeg.scans[0]
+    buf, starts = native_entropy.destuff_segments(scan)
+    pieces = bitstream.split_restart_segments(scan)
+    assert len(starts) == len(pieces) + 1
+    for i, p in enumerate(pieces):
+        got = buf[starts[i] : starts[i + 1]].tobytes()
+        assert got == p, f"segment {i}"

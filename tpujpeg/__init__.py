@@ -12,6 +12,26 @@ Public API:
     DecodeConfig, DecodeStats, JpegError
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: decode geometries recompile per
+# process otherwise, which costs minutes per run on remote-compile TPU
+# backends (SURVEY.md §2.2 #21 — kernel compilation is a first-class
+# runtime component). Opt out with TPUJPEG_NO_COMPILE_CACHE=1.
+if not _os.environ.get("TPUJPEG_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "tpujpeg-xla"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
 from .config import DEFAULT_CONFIG, DecodeConfig
 from .decoder import decode, decode_file
 from .errors import (

@@ -1,0 +1,727 @@
+// Native host entropy stage (SURVEY.md §2.1 components 1, 4, 7-10 native
+// rule; §7.1 M2): byte/bit reader with 0xFF00 destuffing, canonical
+// Huffman table build (T.81 Annex C), baseline sequential decode
+// (T.81 §F.2.2), progressive decode (T.81 §G.2), restart-segment
+// parallelism over std::thread (T.81 §E.2.4 makes segments independent).
+//
+// C ABI, consumed from Python via ctypes (tpujpeg/native/entropy.py).
+// Coefficients are emitted in zigzag order into int32[padded_blocks][64]
+// per frame component — the exact layout the device transform stage
+// consumes (tpujpeg/transform.py dequantize()).
+//
+// The reference project's equivalent is its C++ host decoder core; the
+// reference checkout is an empty mount (SURVEY.md §0), so citations are
+// to the standard and survey, not reference file:line.
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Error plumbing
+// ---------------------------------------------------------------------------
+
+enum ErrCode : int {
+  OK = 0,
+  ERR_HUFFMAN = 1,    // -> JpegHuffmanError
+  ERR_TRUNCATED = 2,  // -> JpegTruncatedError
+  ERR_SYNTAX = 3,     // -> JpegSyntaxError
+};
+
+struct ErrState {
+  std::atomic<int> code{OK};
+  char msg[256] = {0};
+
+  void set(int c, const char* m) {
+    int expected = OK;
+    if (code.compare_exchange_strong(expected, c)) {
+      std::snprintf(msg, sizeof(msg), "%s", m);
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Huffman tables (T.81 Annex C + §F.2.2.3 DECODE)
+// ---------------------------------------------------------------------------
+
+constexpr int kLookBits = 8;
+
+struct HuffTbl {
+  bool present = false;
+  uint8_t look_sym[1 << kLookBits];
+  uint8_t look_len[1 << kLookBits];  // 0 => code longer than kLookBits
+  int32_t maxcode[17];               // max code value of each length, -1 if none
+  int32_t valoffset[17];             // huffval index = valoffset[l] + code
+  uint8_t huffval[256];
+
+  // counts: uint8[16] (codes of length 1..16); values: uint8[sum(counts)].
+  bool build(const uint8_t* counts, const uint8_t* values) {
+    std::memset(look_len, 0, sizeof(look_len));
+    int total = 0;
+    for (int i = 0; i < 16; i++) total += counts[i];
+    if (total > 256) return false;
+    std::memcpy(huffval, values, total);
+
+    int32_t code = 0;
+    int k = 0;
+    for (int l = 1; l <= 16; l++) {
+      int n = counts[l - 1];
+      if (code + n > (1 << l)) return false;  // overfull table
+      if (n) {
+        valoffset[l] = k - code;
+        if (l <= kLookBits) {
+          // Expand every code of this length into the lookahead LUT.
+          for (int i = 0; i < n; i++) {
+            int32_t c = code + i;
+            int lo = c << (kLookBits - l);
+            int hi = lo + (1 << (kLookBits - l));
+            for (int j = lo; j < hi; j++) {
+              look_sym[j] = values[k + i];
+              look_len[j] = static_cast<uint8_t>(l);
+            }
+          }
+        }
+        code += n;
+        k += n;
+        maxcode[l] = code - 1;
+      } else {
+        maxcode[l] = -1;
+      }
+      code <<= 1;
+    }
+    present = true;
+    return true;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Bit reader over a destuffed entropy segment (T.81 §F.2.2.5 semantics;
+// reads past end fabricate 1-bits like libjpeg, tracked for overrun)
+// ---------------------------------------------------------------------------
+
+struct BitReader {
+  const uint8_t* data;
+  size_t n;
+  size_t pos = 0;
+  uint64_t buf = 0;
+  int cnt = 0;
+  int64_t fed_pad_bits = 0;
+
+  explicit BitReader(const uint8_t* d, size_t len) : data(d), n(len) {}
+
+  inline void fill(int need) {
+    while (cnt < need) {
+      if (cnt < 56 && pos + 8 <= n) {
+        // Bulk refill: big-endian load of 8 bytes, take at most 7 so the
+        // shift below stays < 64 (a full-width shift is UB).
+        uint64_t w;
+        std::memcpy(&w, data + pos, 8);
+        w = __builtin_bswap64(w);
+        int take_bytes = (63 - cnt) >> 3;
+        buf = (buf << (take_bytes * 8)) | (w >> (64 - take_bytes * 8));
+        cnt += take_bytes * 8;
+        pos += take_bytes;
+        continue;
+      }
+      uint64_t b;
+      if (pos < n) {
+        b = data[pos++];
+      } else {
+        b = 0xFF;
+        fed_pad_bits += 8;
+      }
+      buf = (buf << 8) | b;
+      cnt += 8;
+    }
+  }
+
+  inline uint32_t peek16() {
+    fill(16);
+    return static_cast<uint32_t>(buf >> (cnt - 16)) & 0xFFFF;
+  }
+
+  inline void skip(int nbits) { cnt -= nbits; }  // caller filled already
+
+  inline int32_t receive(int nbits) {
+    if (nbits == 0) return 0;
+    fill(nbits);
+    cnt -= nbits;
+    return static_cast<int32_t>(buf >> cnt) & ((1 << nbits) - 1);
+  }
+
+  inline int receive_bit() {
+    fill(1);
+    cnt -= 1;
+    return static_cast<int>(buf >> cnt) & 1;
+  }
+
+  // True iff bits beyond the real data were consumed.
+  inline bool overrun() const {
+    int64_t fed = static_cast<int64_t>(pos) * 8 + fed_pad_bits;
+    return fed - cnt > static_cast<int64_t>(n) * 8;
+  }
+};
+
+// T.81 §F.2.2.1 EXTEND.
+static inline int32_t extend(int32_t v, int t) {
+  return (t && v < (1 << (t - 1))) ? v - (1 << t) + 1 : v;
+}
+
+// T.81 §F.2.2.3 DECODE with 8-bit lookahead (structure per the survey's
+// component #4 "LUT-based fast path"; same shape as any fast JPEG
+// decoder's because the standard fixes the algorithm).
+static inline int huff_decode(BitReader& br, const HuffTbl& t, ErrState& err) {
+  uint32_t p16 = br.peek16();
+  uint32_t idx = p16 >> (16 - kLookBits);
+  int len = t.look_len[idx];
+  if (len) {
+    br.skip(len);
+    return t.look_sym[idx];
+  }
+  int l = kLookBits + 1;
+  int32_t code = static_cast<int32_t>(p16 >> (16 - l));
+  while (l <= 16 && code > t.maxcode[l]) {
+    l++;
+    code = static_cast<int32_t>(p16 >> (16 - l));
+  }
+  if (l > 16) {
+    err.set(ERR_HUFFMAN, "invalid Huffman code");
+    return -1;
+  }
+  br.skip(l);
+  return t.huffval[t.valoffset[l] + code];
+}
+
+// ---------------------------------------------------------------------------
+// Geometry / scan parameter unpacking (layout defined in entropy.py)
+// ---------------------------------------------------------------------------
+
+constexpr int kMaxComps = 4;
+
+struct Geom {
+  int n_comps;
+  int mcus_x, mcus_y;
+  int h[kMaxComps], v[kMaxComps];
+  int padded_wb[kMaxComps], padded_hb[kMaxComps];
+  int width_blocks[kMaxComps], height_blocks[kMaxComps];
+};
+
+struct ScanDesc {
+  int n_scan_comps;
+  int ss, se, ah, al;
+  int restart_interval;
+  int comp_idx[kMaxComps];
+  int dc_id[kMaxComps], ac_id[kMaxComps];
+};
+
+static Geom unpack_geom(const int32_t* g) {
+  Geom geom;
+  geom.n_comps = g[0];
+  geom.mcus_x = g[1];
+  geom.mcus_y = g[2];
+  const int32_t* p = g + 3;
+  for (int i = 0; i < geom.n_comps; i++) {
+    geom.h[i] = p[0];
+    geom.v[i] = p[1];
+    geom.padded_wb[i] = p[2];
+    geom.padded_hb[i] = p[3];
+    geom.width_blocks[i] = p[4];
+    geom.height_blocks[i] = p[5];
+    p += 6;
+  }
+  return geom;
+}
+
+static ScanDesc unpack_scan(const int32_t* s) {
+  ScanDesc d;
+  d.n_scan_comps = s[0];
+  d.ss = s[1];
+  d.se = s[2];
+  d.ah = s[3];
+  d.al = s[4];
+  d.restart_interval = s[5];
+  const int32_t* p = s + 6;
+  for (int i = 0; i < d.n_scan_comps; i++) {
+    d.comp_idx[i] = p[0];
+    d.dc_id[i] = p[1];
+    d.ac_id[i] = p[2];
+    p += 3;
+  }
+  return d;
+}
+
+// Packed Huffman specs from Python: 8 slots (tc*4+th), each
+// [present:1][counts:16][values:256] bytes.
+constexpr int kHSlot = 1 + 16 + 256;
+
+static void build_tables(const uint8_t* hspec, HuffTbl* tbls, ErrState& err) {
+  for (int slot = 0; slot < 8; slot++) {
+    const uint8_t* p = hspec + slot * kHSlot;
+    if (!p[0]) continue;
+    if (!tbls[slot].build(p + 1, p + 17)) {
+      err.set(ERR_SYNTAX, "overfull Huffman table");
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Destuffing (T.81 §B.1.1.5): strip 0xFF 0x00 pairs from one segment.
+// ---------------------------------------------------------------------------
+
+static size_t destuff(const uint8_t* src, size_t len, uint8_t* dst) {
+  size_t o = 0;
+  size_t i = 0;
+  while (i < len) {
+    const uint8_t* ff = static_cast<const uint8_t*>(
+        std::memchr(src + i, 0xFF, len - i));
+    if (!ff) {
+      std::memcpy(dst + o, src + i, len - i);
+      o += len - i;
+      break;
+    }
+    size_t run = static_cast<size_t>(ff - (src + i));
+    std::memcpy(dst + o, src + i, run + 1);  // include the 0xFF
+    o += run + 1;
+    i += run + 1;
+    if (i < len && src[i] == 0x00) i++;  // drop the stuffed zero byte
+  }
+  return o;
+}
+
+// ---------------------------------------------------------------------------
+// Per-MCU block enumeration (T.81 §A.2.3)
+// ---------------------------------------------------------------------------
+
+struct BlockRef {
+  int sp;        // scan component position (predictor index)
+  int ci;        // frame component index
+  int64_t idx;   // block index into [padded_hb*padded_wb] grid
+};
+
+// Fill template of per-MCU offsets; actual index = base(ci, mcu) + offset.
+struct McuOrder {
+  int n_blocks = 0;
+  int sp[kMaxComps * 16];
+  int ci[kMaxComps * 16];
+  int dv[kMaxComps * 16];  // v offset within MCU
+  int dh[kMaxComps * 16];  // h offset within MCU
+
+  McuOrder(const Geom& g, const ScanDesc& s) {
+    if (s.n_scan_comps == 1) {
+      // Non-interleaved scan: one block per MCU regardless of the
+      // component's sampling factors (T.81 §A.2.3).
+      sp[0] = 0;
+      ci[0] = s.comp_idx[0];
+      dv[0] = 0;
+      dh[0] = 0;
+      n_blocks = 1;
+      return;
+    }
+    for (int p = 0; p < s.n_scan_comps; p++) {
+      int c = s.comp_idx[p];
+      for (int v = 0; v < g.v[c]; v++) {
+        for (int h = 0; h < g.h[c]; h++) {
+          sp[n_blocks] = p;
+          ci[n_blocks] = c;
+          dv[n_blocks] = v;
+          dh[n_blocks] = h;
+          n_blocks++;
+        }
+      }
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Baseline sequential scan decode of one restart segment
+// (T.81 §F.2.2.1-F.2.2.4)
+// ---------------------------------------------------------------------------
+
+struct SegTask {
+  const uint8_t* raw;  // raw (stuffed) bytes of this segment
+  size_t raw_len;
+  int64_t first_mcu;
+  int64_t n_mcus;
+  int seg_index;
+};
+
+static void decode_baseline_segment(
+    const SegTask& seg, const Geom& g, const ScanDesc& s, const McuOrder& ord,
+    const HuffTbl* dc_tbl[kMaxComps], const HuffTbl* ac_tbl[kMaxComps],
+    int32_t* const* coeffs, std::vector<uint8_t>& scratch, ErrState& err) {
+  scratch.resize(seg.raw_len);
+  size_t dlen = destuff(seg.raw, seg.raw_len, scratch.data());
+  BitReader br(scratch.data(), dlen);
+  int32_t pred[kMaxComps] = {0, 0, 0, 0};
+
+  bool interleaved = s.n_scan_comps > 1;
+  int c0 = s.comp_idx[0];
+  for (int64_t m = seg.first_mcu; m < seg.first_mcu + seg.n_mcus; m++) {
+    int64_t mcu_y, mcu_x;
+    if (interleaved) {
+      mcu_y = m / g.mcus_x;
+      mcu_x = m % g.mcus_x;
+    } else {
+      mcu_y = m / g.width_blocks[c0];
+      mcu_x = m % g.width_blocks[c0];
+    }
+    for (int b = 0; b < ord.n_blocks; b++) {
+      int ci = ord.ci[b];
+      int sp = ord.sp[b];
+      int64_t row, col;
+      if (interleaved) {
+        row = mcu_y * g.v[ci] + ord.dv[b];
+        col = mcu_x * g.h[ci] + ord.dh[b];
+      } else {
+        row = mcu_y;
+        col = mcu_x;
+      }
+      int32_t* out = coeffs[ci] + (row * g.padded_wb[ci] + col) * 64;
+
+      int t = huff_decode(br, *dc_tbl[sp], err);
+      if (t < 0) return;
+      if (t > 15) {
+        err.set(ERR_HUFFMAN, "bad DC size");
+        return;
+      }
+      pred[sp] += extend(br.receive(t), t);
+      out[0] = pred[sp];
+      int k = 1;
+      while (k < 64) {
+        int rs = huff_decode(br, *ac_tbl[sp], err);
+        if (rs < 0) return;
+        int run = rs >> 4, size = rs & 15;
+        if (size == 0) {
+          if (run == 15) {
+            k += 16;  // ZRL
+            continue;
+          }
+          break;  // EOB
+        }
+        k += run;
+        if (k > 63) {
+          err.set(ERR_HUFFMAN, "AC run past end of block");
+          return;
+        }
+        out[k] = extend(br.receive(size), size);
+        k++;
+      }
+    }
+    if (err.code.load(std::memory_order_relaxed) != OK) return;
+  }
+  if (br.overrun()) {
+    char m[64];
+    std::snprintf(m, sizeof(m), "entropy segment %d truncated", seg.seg_index);
+    err.set(ERR_TRUNCATED, m);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Progressive scan decode of one restart segment (T.81 §G.2; same four
+// scan kinds as tpujpeg/huffman.py: DC first/refine, AC first/refine)
+// ---------------------------------------------------------------------------
+
+static void decode_prog_segment(
+    const SegTask& seg, const Geom& g, const ScanDesc& s, const McuOrder& ord,
+    const HuffTbl* dc_tbl[kMaxComps], const HuffTbl* ac_tbl0,
+    int32_t* const* coeffs, std::vector<uint8_t>& scratch, ErrState& err) {
+  scratch.resize(seg.raw_len);
+  size_t dlen = destuff(seg.raw, seg.raw_len, scratch.data());
+  BitReader br(scratch.data(), dlen);
+  int32_t pred[kMaxComps] = {0, 0, 0, 0};
+  int64_t eobrun = 0;
+
+  bool is_dc = s.ss == 0;
+  bool refining = s.ah != 0;
+  int32_t p1 = 1 << s.al;
+  int32_t m1 = -1 << s.al;
+  bool interleaved = s.n_scan_comps > 1;
+  int c0 = s.comp_idx[0];
+
+  for (int64_t m = seg.first_mcu; m < seg.first_mcu + seg.n_mcus; m++) {
+    if (is_dc) {
+      int64_t mcu_y, mcu_x;
+      if (interleaved) {
+        mcu_y = m / g.mcus_x;
+        mcu_x = m % g.mcus_x;
+      } else {
+        mcu_y = m / g.width_blocks[c0];
+        mcu_x = m % g.width_blocks[c0];
+      }
+      for (int b = 0; b < ord.n_blocks; b++) {
+        int ci = ord.ci[b];
+        int sp = ord.sp[b];
+        int64_t row, col;
+        if (interleaved) {
+          row = mcu_y * g.v[ci] + ord.dv[b];
+          col = mcu_x * g.h[ci] + ord.dh[b];
+        } else {
+          row = mcu_y;
+          col = mcu_x;
+        }
+        int32_t* out = coeffs[ci] + (row * g.padded_wb[ci] + col) * 64;
+        if (refining) {
+          if (br.receive_bit()) out[0] |= p1;  // §G.1.2.1
+        } else {
+          int t = huff_decode(br, *dc_tbl[sp], err);
+          if (t < 0) return;
+          if (t > 15) {
+            err.set(ERR_HUFFMAN, "bad DC size");
+            return;
+          }
+          pred[sp] += extend(br.receive(t), t);
+          out[0] = pred[sp] << s.al;
+        }
+      }
+    } else {
+      // AC scans are single-component, non-interleaved (parser-checked).
+      int64_t by = m / g.width_blocks[c0];
+      int64_t bx = m % g.width_blocks[c0];
+      int32_t* out = coeffs[c0] + (by * g.padded_wb[c0] + bx) * 64;
+      if (!refining) {
+        // §G.2.2 / AC first pass.
+        if (eobrun > 0) {
+          eobrun--;
+        } else {
+          int k = s.ss;
+          while (k <= s.se) {
+            int rs = huff_decode(br, *ac_tbl0, err);
+            if (rs < 0) return;
+            int rr = rs >> 4, sz = rs & 15;
+            if (sz) {
+              k += rr;
+              if (k > s.se) {
+                err.set(ERR_HUFFMAN, "AC run past spectral band");
+                return;
+              }
+              out[k] = extend(br.receive(sz), sz) << s.al;
+              k++;
+            } else {
+              if (rr != 15) {
+                eobrun = (1LL << rr) - 1;
+                if (rr) eobrun += br.receive(rr);
+                break;
+              }
+              k += 16;  // ZRL
+            }
+          }
+        }
+      } else {
+        // §G.1.2.3 / AC refinement.
+        int k = s.ss;
+        if (eobrun == 0) {
+          while (k <= s.se) {
+            int rs = huff_decode(br, *ac_tbl0, err);
+            if (rs < 0) return;
+            int rr = rs >> 4, sz = rs & 15;
+            int32_t newval = 0;
+            if (sz) {
+              newval = br.receive_bit() ? p1 : m1;
+            } else {
+              if (rr != 15) {
+                eobrun = 1LL << rr;
+                if (rr) eobrun += br.receive(rr);
+                break;
+              }
+            }
+            while (k <= s.se) {
+              int32_t cv = out[k];
+              if (cv != 0) {
+                if (br.receive_bit() && (cv & p1) == 0) {
+                  out[k] = cv + (cv >= 0 ? p1 : m1);
+                }
+              } else {
+                if (rr == 0) break;
+                rr--;
+              }
+              k++;
+            }
+            if (sz) {
+              if (k > s.se) {
+                err.set(ERR_HUFFMAN, "refinement insert past band");
+                return;
+              }
+              out[k] = newval;
+            }
+            k++;
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= s.se) {
+            int32_t cv = out[k];
+            if (cv != 0) {
+              if (br.receive_bit() && (cv & p1) == 0) {
+                out[k] = cv + (cv >= 0 ? p1 : m1);
+              }
+            }
+            k++;
+          }
+          eobrun--;
+        }
+      }
+    }
+    if (err.code.load(std::memory_order_relaxed) != OK) return;
+  }
+  if (br.overrun()) {
+    char m[64];
+    std::snprintf(m, sizeof(m), "entropy segment %d truncated", seg.seg_index);
+    err.set(ERR_TRUNCATED, m);
+  }
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Decode one scan (baseline or progressive) into the per-component
+// coefficient grids. Returns ErrCode; on error err_msg is filled.
+//
+//   scan_data / scan_len : raw entropy bytes (stuffed, RSTn embedded)
+//   rst_offsets / n_rst  : byte offsets of RSTn markers within scan_data
+//   geom / scan_params   : packed as described in entropy.py
+//   hspec                : 8 * (1+16+256) packed Huffman specs
+//   coeff0..3            : int32[padded_hb*padded_wb*64] per frame comp
+//   is_progressive       : frame is SOF2
+//   n_threads            : worker threads for restart-segment parallelism
+int tj_decode_scan(const uint8_t* scan_data, int64_t scan_len,
+                   const int64_t* rst_offsets, int n_rst,
+                   const int32_t* geom_p, const int32_t* scan_p,
+                   const uint8_t* hspec, int32_t* coeff0, int32_t* coeff1,
+                   int32_t* coeff2, int32_t* coeff3, int is_progressive,
+                   int n_threads, char* err_msg, int err_len) {
+  ErrState err;
+  Geom g = unpack_geom(geom_p);
+  ScanDesc s = unpack_scan(scan_p);
+  McuOrder ord(g, s);
+  int32_t* coeffs[kMaxComps] = {coeff0, coeff1, coeff2, coeff3};
+
+  HuffTbl tbls[8];
+  build_tables(hspec, tbls, err);
+
+  bool is_dc_or_full = s.ss == 0;
+  bool refining = s.ah != 0;
+  const HuffTbl* dc_tbl[kMaxComps] = {nullptr, nullptr, nullptr, nullptr};
+  const HuffTbl* ac_tbl[kMaxComps] = {nullptr, nullptr, nullptr, nullptr};
+  for (int p = 0; p < s.n_scan_comps; p++) {
+    if (is_dc_or_full && !refining) {
+      const HuffTbl& t = tbls[0 * 4 + s.dc_id[p]];
+      if (!t.present) {
+        err.set(ERR_SYNTAX, "missing DC Huffman table");
+      }
+      dc_tbl[p] = &t;
+    }
+    if (!is_progressive || s.ss > 0) {
+      const HuffTbl& t = tbls[1 * 4 + s.ac_id[p]];
+      if (!t.present) {
+        err.set(ERR_SYNTAX, "missing AC Huffman table");
+      }
+      ac_tbl[p] = &t;
+    }
+  }
+  if (err.code.load() != OK) {
+    std::snprintf(err_msg, err_len, "%s", err.msg);
+    return err.code.load();
+  }
+
+  // Total MCU count for this scan.
+  int64_t total_mcus;
+  if (s.n_scan_comps > 1) {
+    total_mcus = static_cast<int64_t>(g.mcus_x) * g.mcus_y;
+  } else {
+    int c0 = s.comp_idx[0];
+    total_mcus =
+        static_cast<int64_t>(g.width_blocks[c0]) * g.height_blocks[c0];
+  }
+  int64_t ri = s.restart_interval > 0 ? s.restart_interval : total_mcus;
+
+  // Build segment tasks from RSTn offsets (component #9: the segment
+  // index table / parallelism substrate).
+  std::vector<SegTask> segs;
+  int64_t mcu = 0;
+  int64_t start = 0;
+  for (int i = 0; i <= n_rst && mcu < total_mcus; i++) {
+    int64_t end = (i < n_rst) ? rst_offsets[i] : scan_len;
+    SegTask t;
+    t.raw = scan_data + start;
+    t.raw_len = static_cast<size_t>(end - start);
+    t.first_mcu = mcu;
+    t.n_mcus = std::min(ri, total_mcus - mcu);
+    t.seg_index = i;
+    segs.push_back(t);
+    mcu += t.n_mcus;
+    start = end + 2;  // skip the RSTn marker pair
+  }
+  if (mcu < total_mcus) {
+    std::snprintf(err_msg, err_len,
+                  "scan ended after %lld/%lld MCUs (missing restart segments)",
+                  static_cast<long long>(mcu),
+                  static_cast<long long>(total_mcus));
+    return ERR_TRUNCATED;
+  }
+
+  auto run_range = [&](size_t lo, size_t hi) {
+    std::vector<uint8_t> scratch;
+    for (size_t i = lo; i < hi; i++) {
+      if (err.code.load(std::memory_order_relaxed) != OK) return;
+      if (is_progressive) {
+        decode_prog_segment(segs[i], g, s, ord, dc_tbl, ac_tbl[0], coeffs,
+                            scratch, err);
+      } else {
+        decode_baseline_segment(segs[i], g, s, ord, dc_tbl, ac_tbl, coeffs,
+                                scratch, err);
+      }
+    }
+  };
+
+  int nt = n_threads;
+  if (nt > static_cast<int>(segs.size())) nt = static_cast<int>(segs.size());
+  if (nt <= 1) {
+    run_range(0, segs.size());
+  } else {
+    std::vector<std::thread> workers;
+    size_t per = (segs.size() + nt - 1) / nt;
+    for (int w = 0; w < nt; w++) {
+      size_t lo = w * per;
+      size_t hi = std::min(segs.size(), lo + per);
+      if (lo >= hi) break;
+      workers.emplace_back(run_range, lo, hi);
+    }
+    for (auto& th : workers) th.join();
+  }
+
+  int code = err.code.load();
+  if (code != OK) std::snprintf(err_msg, err_len, "%s", err.msg);
+  return code;
+}
+
+// Destuff a whole scan into `out` (callee-sized >= scan_len) and emit the
+// segment start offsets within the destuffed buffer. seg_starts must hold
+// n_rst+2 entries; seg_starts[n_segments] = total destuffed length.
+// Returns the destuffed length. Used to prepare the device wavefront
+// decoder's input (SURVEY.md §3.4 "ship segment table + bitstream").
+int64_t tj_destuff_segments(const uint8_t* scan_data, int64_t scan_len,
+                            const int64_t* rst_offsets, int n_rst,
+                            uint8_t* out, int64_t* seg_starts) {
+  int64_t o = 0;
+  int64_t start = 0;
+  for (int i = 0; i <= n_rst; i++) {
+    int64_t end = (i < n_rst) ? rst_offsets[i] : scan_len;
+    seg_starts[i] = o;
+    o += static_cast<int64_t>(
+        destuff(scan_data + start, static_cast<size_t>(end - start), out + o));
+    start = end + 2;
+  }
+  seg_starts[n_rst + 1] = o;
+  return o;
+}
+
+}  // extern "C"

@@ -1,0 +1,145 @@
+"""ctypes wrapper over the native C++ entropy decoder (SURVEY.md §7.1 M2).
+
+Mirrors tpujpeg.huffman.decode_all_scans exactly: same inputs (parsed
+JpegData), same outputs (per-component int32[padded_blocks, 64] zigzag
+coefficient arrays), same error taxonomy — validated against the Python
+oracle by tests/test_native.py."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from .. import bitstream
+from ..errors import (
+    JpegError,
+    JpegHuffmanError,
+    JpegSyntaxError,
+    JpegTruncatedError,
+)
+from . import build as build_mod
+
+_ERR_MAP = {
+    1: JpegHuffmanError,
+    2: JpegTruncatedError,
+    3: JpegSyntaxError,
+}
+
+_HSLOT = 1 + 16 + 256
+
+
+def _pack_geom(frame: bitstream.Frame) -> np.ndarray:
+    g = [frame.n_components, frame.mcus_x, frame.mcus_y]
+    for c in frame.components:
+        g += [c.h, c.v, c.padded_wb, c.padded_hb, c.width_blocks, c.height_blocks]
+    return np.asarray(g, dtype=np.int32)
+
+
+def _pack_scan(scan: bitstream.Scan) -> np.ndarray:
+    s = [scan.n_comps, scan.ss, scan.se, scan.ah, scan.al, scan.restart_interval]
+    for p in range(scan.n_comps):
+        s += [scan.comp_indices[p], scan.dc_ids[p], scan.ac_ids[p]]
+    return np.asarray(s, dtype=np.int32)
+
+
+def _pack_hspecs(huff: Dict[Tuple[int, int], bitstream.HuffSpec]) -> bytes:
+    buf = bytearray(8 * _HSLOT)
+    for (tc, th), spec in huff.items():
+        if tc > 1 or th > 3:
+            continue
+        o = (tc * 4 + th) * _HSLOT
+        buf[o] = 1
+        buf[o + 1 : o + 17] = spec.counts.tobytes()
+        vals = spec.values.tobytes()
+        buf[o + 17 : o + 17 + len(vals)] = vals
+    return bytes(buf)
+
+
+def default_threads() -> int:
+    env = os.environ.get("TPUJPEG_THREADS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 1
+
+
+def decode_scan(
+    jpeg: bitstream.JpegData,
+    scan: bitstream.Scan,
+    coeffs: List[np.ndarray],
+    n_threads: int = 0,
+) -> None:
+    """Decode one scan into the coefficient grids via the native library."""
+    lib = build_mod.get_lib()
+    frame = jpeg.frame
+    if n_threads <= 0:
+        n_threads = default_threads()
+
+    geom = _pack_geom(frame)
+    sp = _pack_scan(scan)
+    hspec = _pack_hspecs(scan.huff)
+    rsts = np.asarray(scan.rst_offsets, dtype=np.int64)
+    err = ctypes.create_string_buffer(256)
+
+    ptrs = []
+    for ci in range(4):
+        if ci < len(coeffs):
+            arr = coeffs[ci]
+            assert arr.dtype == np.int32 and arr.flags.c_contiguous
+            ptrs.append(arr.ctypes.data_as(ctypes.c_void_p))
+        else:
+            ptrs.append(None)
+
+    code = lib.tj_decode_scan(
+        scan.data,
+        len(scan.data),
+        rsts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(scan.rst_offsets),
+        geom.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        sp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        hspec,
+        *ptrs,
+        int(frame.progressive),
+        n_threads,
+        err,
+        256,
+    )
+    if code != 0:
+        exc = _ERR_MAP.get(code, JpegError)
+        raise exc(err.value.decode("utf-8", "replace"))
+
+
+def decode_all_scans(
+    jpeg: bitstream.JpegData, n_threads: int = 0
+) -> List[np.ndarray]:
+    frame = jpeg.frame
+    coeffs = [
+        np.zeros((c.padded_hb * c.padded_wb, 64), dtype=np.int32)
+        for c in frame.components
+    ]
+    for scan in jpeg.scans:
+        decode_scan(jpeg, scan, coeffs, n_threads=n_threads)
+    return coeffs
+
+
+def destuff_segments(scan: bitstream.Scan) -> Tuple[np.ndarray, np.ndarray]:
+    """Destuff a scan in one native pass. Returns (bytes_u8, seg_starts)
+    where seg_starts[i] is segment i's start offset in the destuffed
+    buffer and seg_starts[-1] its total length — the segment index table
+    shipped to the device wavefront decoder (SURVEY.md §3.4)."""
+    lib = build_mod.get_lib()
+    n_rst = len(scan.rst_offsets)
+    out = np.empty(len(scan.data), dtype=np.uint8)
+    starts = np.zeros(n_rst + 2, dtype=np.int64)
+    rsts = np.asarray(scan.rst_offsets, dtype=np.int64)
+    total = lib.tj_destuff_segments(
+        scan.data,
+        len(scan.data),
+        rsts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_rst,
+        out.ctypes.data_as(ctypes.c_void_p),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out[:total], starts

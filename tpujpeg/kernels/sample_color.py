@@ -1,13 +1,17 @@
 """Fused chroma-upsample + YCbCr->RGB Pallas kernels (SURVEY.md §2.1
 components 15-16 as one device pass; §7.1 M1).
 
-Strip-parallel formulation: the image is processed in horizontal strips
-(grid dimension = strip index). For h2v2 the one-row vertical halos a
-strip's triangular filter needs are delivered through extra BlockSpecs
-whose index maps clamp at the image edge — the same replicate-edge
-semantics libjpeg's fancy upsampler applies, so interior strips are
-bit-exact and global edges match too. Horizontal neighbor context is
-whole rows, so it lives inside the block.
+Strip-parallel, **phase-separated** formulation: Mosaic has no cheap
+lane/sublane interleave (stack+reshape does not lower), so the kernel
+never interleaves. For h2v2 it computes the four output phases
+(even/odd row x even/odd col of the x2 upsampled grid) as four
+same-shape elementwise arrays — neighbor taps are whole-array shifts
+expressed with concatenate, which lowers cleanly — converts each phase
+to RGB against the matching phase of the luma plane, and writes
+[4, T, W] phase stacks. One XLA transpose outside the kernel performs
+the 2x2 interleave on uint8 output. Vertical strip halos arrive through
+8-row halo BlockSpecs (Mosaic-legal) whose edge row is selected
+in-kernel; global edges replicate, matching libjpeg.
 
 Arithmetic is the same libjpeg fixed-point as transform.py (h2v1/h2v2
 fancy filter biases, 16-bit color constants) — bit-exact vs the jnp
@@ -34,11 +38,11 @@ _FIX_G_CB = -T._fix(0.34414)
 _FIX_G_CR = -T._fix(0.71414)
 
 
-def _color_rows(y, cb, cr):
-    """int32 rows -> (r, g, b) uint8 rows; jdcolor.c fixed point."""
+def _color(y, cb, cr):
+    """int32 arrays -> (r, g, b) uint8; jdcolor.c fixed point."""
     yi = y.astype(jnp.int32)
-    cbi = cb.astype(jnp.int32) - 128
-    cri = cr.astype(jnp.int32) - 128
+    cbi = cb - 128
+    cri = cr - 128
     r = yi + ((_FIX_R_CR * cri + T.ONE_HALF) >> T.SCALEBITS)
     b = yi + ((_FIX_B_CB * cbi + T.ONE_HALF) >> T.SCALEBITS)
     g = yi + ((_FIX_G_CB * cbi + _FIX_G_CR * cri + T.ONE_HALF) >> T.SCALEBITS)
@@ -46,33 +50,24 @@ def _color_rows(y, cb, cr):
     return clip(r), clip(g), clip(b)
 
 
-def _h2_cols(cs, bias_even, bias_odd, bits):
-    """Horizontal x2 triangular upsample of column-sum rows [.., W2] ->
-    [.., 2*W2] (same as transform._h2_fancy_cols, inlined for Pallas)."""
-    left = jnp.concatenate([cs[:, :1], cs[:, :-1]], axis=1)
-    right = jnp.concatenate([cs[:, 1:], cs[:, -1:]], axis=1)
-    even = (3 * cs + left + bias_even) >> bits
-    odd = (3 * cs + right + bias_odd) >> bits
-    out = jnp.stack([even, odd], axis=-1)
-    return out.reshape(cs.shape[0], cs.shape[1] * 2)
+def _left(v):
+    return jnp.concatenate([v[:, :1], v[:, :-1]], axis=1)
+
+
+def _right(v):
+    return jnp.concatenate([v[:, 1:], v[:, -1:]], axis=1)
 
 
 def _kernel_h2v2(y_ref, cbc_ref, cba_ref, cbb_ref, crc_ref, cra_ref, crb_ref,
                  r_ref, g_ref, b_ref):
-    """One strip: T2 chroma rows + 8-row halo blocks -> 2*T2 RGB rows.
-
-    Halo blocks are 8 rows tall (Mosaic requires sublane-divisible block
-    shapes); the needed single row is selected in-kernel. At the global
-    top/bottom strip the filter replicates the strip's own edge row —
-    libjpeg's edge behavior."""
+    """One strip: T2 chroma rows + 8-row halo blocks -> [4, T2, Wc]
+    phase-stacked RGB. y_ref: [4, T2, Wc] phase-split luma."""
     t2 = cbc_ref.shape[0]
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
-    def upsample(c_ref, a_ref, b_ref_):
+    def phases(c_ref, a_ref, b_ref_):
         c = c_ref[:].astype(jnp.int32)
-        # Row above the strip: last row of the 8-row block ending at
-        # i*T2-1 (only valid when i > 0); else replicate own row 0.
         above_row = jnp.where(
             i > 0, a_ref[7:8].astype(jnp.int32), c[0:1]
         )
@@ -81,36 +76,62 @@ def _kernel_h2v2(y_ref, cbc_ref, cba_ref, cbb_ref, crc_ref, cra_ref, crb_ref,
         )
         above = jnp.concatenate([above_row, c[:-1]], axis=0)
         below = jnp.concatenate([c[1:], below_row], axis=0)
-        cs_even = 3 * c + above  # feeds output rows 2t
-        cs_odd = 3 * c + below  # feeds output rows 2t+1
-        oe = _h2_cols(cs_even, 8, 7, 4)
-        oo = _h2_cols(cs_odd, 8, 7, 4)
-        w2 = oe.shape[1]
-        return jnp.stack([oe, oo], axis=1).reshape(2 * t2, w2)
+        v0 = 3 * c + above  # feeds output rows 2t
+        v1 = 3 * c + below  # feeds output rows 2t+1
+        # Column phases (jdsample.c h2v2 biases 8/7, shift 4).
+        ee = (3 * v0 + _left(v0) + 8) >> 4
+        eo = (3 * v0 + _right(v0) + 7) >> 4
+        oe = (3 * v1 + _left(v1) + 8) >> 4
+        oo = (3 * v1 + _right(v1) + 7) >> 4
+        return ee, eo, oe, oo
 
-    cb_up = upsample(cbc_ref, cba_ref, cbb_ref)
-    cr_up = upsample(crc_ref, cra_ref, crb_ref)
-    r, g, b = _color_rows(y_ref[:], cb_up, cr_up)
-    r_ref[:] = r
-    g_ref[:] = g
-    b_ref[:] = b
+    cb4 = phases(cbc_ref, cba_ref, cbb_ref)
+    cr4 = phases(crc_ref, cra_ref, crb_ref)
+    for p in range(4):
+        r, g, b = _color(y_ref[p], cb4[p], cr4[p])
+        r_ref[p] = r
+        g_ref[p] = g
+        b_ref[p] = b
 
 
 def _kernel_h2v1(y_ref, cb_ref, cr_ref, r_ref, g_ref, b_ref):
-    """One strip of T luma rows; chroma is half-width, full-height."""
-    cb_up = _h2_cols(cb_ref[:].astype(jnp.int32), 1, 2, 2)
-    cr_up = _h2_cols(cr_ref[:].astype(jnp.int32), 1, 2, 2)
-    r, g, b = _color_rows(y_ref[:], cb_up, cr_up)
-    r_ref[:] = r
-    g_ref[:] = g
-    b_ref[:] = b
+    """One strip of T rows; two column phases (biases 1/2, shift 2)."""
+    cb = cb_ref[:].astype(jnp.int32)
+    cr = cr_ref[:].astype(jnp.int32)
+    cb2 = ((3 * cb + _left(cb) + 1) >> 2, (3 * cb + _right(cb) + 2) >> 2)
+    cr2 = ((3 * cr + _left(cr) + 1) >> 2, (3 * cr + _right(cr) + 2) >> 2)
+    for p in range(2):
+        r, g, b = _color(y_ref[p], cb2[p], cr2[p])
+        r_ref[p] = r
+        g_ref[p] = g
+        b_ref[p] = b
 
 
 def _kernel_444(y_ref, cb_ref, cr_ref, r_ref, g_ref, b_ref):
-    r, g, b = _color_rows(y_ref[:], cb_ref[:], cr_ref[:])
+    r, g, b = _color(
+        y_ref[:], cb_ref[:].astype(jnp.int32), cr_ref[:].astype(jnp.int32)
+    )
     r_ref[:] = r
     g_ref[:] = g
     b_ref[:] = b
+
+
+def _phase_split(y: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
+    """[ph*H, pw*W] -> [ph*pw, H, W]: phase (a, b) holds y[a::ph, b::pw]."""
+    h, w = y.shape[0] // ph, y.shape[1] // pw
+    return (
+        y.reshape(h, ph, w, pw).transpose(1, 3, 0, 2).reshape(ph * pw, h, w)
+    )
+
+
+def _phase_merge(ph_stack: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
+    """[C, ph*pw, H, W] -> [C, ph*H, pw*W] (inverse of _phase_split)."""
+    c, _, h, w = ph_stack.shape
+    return (
+        ph_stack.reshape(c, ph, pw, h, w)
+        .transpose(0, 3, 1, 4, 2)
+        .reshape(c, ph * h, pw * w)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -121,7 +142,7 @@ def upsample_color_h2v2(y, cb, cr, interpret: bool = False):
     assert hc % ROW_TILE == 0 and y.shape == (2 * hc, 2 * wc), (y.shape, cb.shape)
     t2 = ROW_TILE
     grid = (hc // t2,)
-    nrows = hc // t2
+    y4 = _phase_split(y, 2, 2)  # [4, Hc, Wc]
 
     center = pl.BlockSpec((t2, wc), lambda i: (i, 0), memory_space=pltpu.VMEM)
     # Halo blocks: 8-row windows (Mosaic-legal) whose edge row is the
@@ -136,20 +157,17 @@ def upsample_color_h2v2(y, cb, cr, interpret: bool = False):
         (8, wc), lambda i: (jnp.minimum((i + 1) * n8, hc // 8 - 1), 0),
         memory_space=pltpu.VMEM,
     )
-    ospec = pl.BlockSpec((2 * t2, 2 * wc), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    oshape = jax.ShapeDtypeStruct((2 * hc, 2 * wc), jnp.uint8)
+    pspec = pl.BlockSpec((4, t2, wc), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    pshape = jax.ShapeDtypeStruct((4, hc, wc), jnp.uint8)
     r, g, b = pl.pallas_call(
         _kernel_h2v2,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((2 * t2, 2 * wc), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            center, above, below, center, above, below,
-        ],
-        out_specs=(ospec, ospec, ospec),
-        out_shape=(oshape, oshape, oshape),
+        in_specs=[pspec, center, above, below, center, above, below],
+        out_specs=(pspec, pspec, pspec),
+        out_shape=(pshape, pshape, pshape),
         interpret=interpret,
-    )(y, cb, cb, cb, cr, cr, cr)
-    return jnp.stack([r, g, b])
+    )(y4, cb, cb, cb, cr, cr, cr)
+    return _phase_merge(jnp.stack([r, g, b]), 2, 2)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -159,21 +177,19 @@ def upsample_color_h2v1(y, cb, cr, interpret: bool = False):
     assert h % ROW_TILE == 0 and y.shape == (h, 2 * wc)
     t = ROW_TILE
     grid = (h // t,)
-    ospec = pl.BlockSpec((t, 2 * wc), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    oshape = jax.ShapeDtypeStruct((h, 2 * wc), jnp.uint8)
+    y2 = _phase_split(y, 1, 2)  # [2, H, Wc]
+    cspec = pl.BlockSpec((t, wc), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((2, t, wc), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    pshape = jax.ShapeDtypeStruct((2, h, wc), jnp.uint8)
     r, g, b = pl.pallas_call(
         _kernel_h2v1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((t, 2 * wc), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, wc), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, wc), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(ospec, ospec, ospec),
-        out_shape=(oshape, oshape, oshape),
+        in_specs=[pspec, cspec, cspec],
+        out_specs=(pspec, pspec, pspec),
+        out_shape=(pshape, pshape, pshape),
         interpret=interpret,
-    )(y, cb, cr)
-    return jnp.stack([r, g, b])
+    )(y2, cb, cr)
+    return _phase_merge(jnp.stack([r, g, b]), 1, 2)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -249,13 +249,17 @@ def _wavefront_decode(
     B = blocks_per_mcu
 
     def window32(bitpos):
-        """32-bit MSB-first window at absolute bit offset, per lane."""
+        """32-bit MSB-first window at absolute bit offset, per lane.
+        Pure uint32 arithmetic (x64 is disabled in JAX by default): the
+        sh==0 case is special-cased because a >>32 is not defined."""
         w = bitpos >> 5
         sh = (bitpos & 31).astype(jnp.uint32)
-        hi = jnp.take(words, w, mode="clip").astype(jnp.uint64)
-        lo = jnp.take(words, w + 1, mode="clip").astype(jnp.uint64)
-        w64 = (hi << np.uint64(32)) | lo
-        return (w64 >> (np.uint64(32) - sh)).astype(jnp.uint32)
+        hi = jnp.take(words, w, mode="clip")
+        lo = jnp.take(words, w + 1, mode="clip")
+        lo_part = jnp.where(
+            sh == 0, jnp.uint32(0), lo >> (np.uint32(32) - sh)
+        )
+        return (hi << sh) | lo_part
 
     # State: [L] vectors.
     state = dict(
@@ -302,21 +306,15 @@ def _wavefront_decode(
         run = sym >> 4
         size = jnp.where(is_dc, sym, sym & 0x0F)
 
-        # Magnitude bits follow the code inside the same 32-bit window.
-        mag_shift = (np.uint32(32) - (clen + size).astype(jnp.uint32))
+        # Magnitude bits follow the code inside the same 32-bit window
+        # (code<=16 bits + magnitude<=15 bits): shift the code out, then
+        # take the top `size` bits. size==0 guarded (>>32 undefined).
+        after = win << clen.astype(jnp.uint32)
         mag = jnp.where(
             size > 0,
-            ((win << clen.astype(jnp.uint32)).astype(jnp.uint32)
-             >> np.uint32(32 - 15) << np.uint32(32 - 15)) >> 0,
-            0,
-        )
-        # Extract `size` bits starting after the code: shift left by
-        # clen, then arithmetic select of top `size` bits.
-        raw = (win.astype(jnp.uint64) << clen.astype(jnp.uint64))
-        mag = jnp.where(
-            size > 0,
-            ((raw >> (np.uint64(64 - 32)))  # back to 32-bit lane
-             >> (np.uint64(32) - size.astype(jnp.uint64))).astype(jnp.int32),
+            (after >> (np.uint32(32) - size.astype(jnp.uint32))).astype(
+                jnp.int32
+            ),
             0,
         )
         # EXTEND (T.81 §F.2.2.1).
@@ -347,7 +345,10 @@ def _wavefront_decode(
         emit = dc_emit | ac_emit
         emit_k = jnp.where(is_dc, 0, ac_k)
         emit_val = jnp.where(is_dc, new_pred_val, val)
-        pos = jnp.where(emit, blk_out * 64 + emit_k, -1)
+        # Non-emitting lanes point PAST the array: mode='drop' discards
+        # out-of-bounds scatters, but a negative index would WRAP to the
+        # end of the tensor and corrupt the last coefficient.
+        pos = jnp.where(emit, blk_out * 64 + emit_k, total_coeffs)
         coeff = s["coeff"].at[pos].set(emit_val, mode="drop")
 
         # Cursor advance.

@@ -139,3 +139,33 @@ def test_pipeline_matmul_idct_close_to_pil():
     # Color conversion amplifies a +-1 IDCT LSB slightly; stay tight.
     assert np.abs(out - ref).max() <= 3
     assert (out != ref).mean() < 0.2
+
+
+def test_batched_pipeline_matches_single():
+    """One bucket, one dispatch: batched kernel path must equal per-image
+    decode and PIL for mixed content (SURVEY.md §3.5)."""
+    import tpujpeg
+
+    datas = [
+        make_jpeg(120, 88, seed=s, subsampling=2, kind=k)
+        for s, k in [(1, "photo"), (2, "noise"), (3, "flat")]
+    ]
+    res = tpujpeg.decode_batch(datas, DecodeConfig(transform_engine="pallas"))
+    assert not res.errors
+    for d, img in zip(datas, res.images):
+        np.testing.assert_array_equal(img, pil_decode(d))
+
+
+def test_batched_pipeline_fault_isolation():
+    import tpujpeg
+
+    datas = [
+        make_jpeg(64, 48, seed=1, subsampling=2),
+        b"not a jpeg",
+        make_jpeg(64, 48, seed=2, subsampling=2),
+    ]
+    res = tpujpeg.decode_batch(datas, DecodeConfig(transform_engine="pallas"))
+    assert set(res.errors) == {1}
+    np.testing.assert_array_equal(res.images[0], pil_decode(datas[0]))
+    np.testing.assert_array_equal(res.images[2], pil_decode(datas[2]))
+    assert res.images[1] is None

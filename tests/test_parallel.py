@@ -1,0 +1,78 @@
+"""Distributed paths on the 8-virtual-device CPU mesh (SURVEY.md §4
+"Distributed" row): sharded output must equal single-device output and
+PIL, and the ICI collectives must implement their contracts."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from corpus import make_jpeg, pil_decode
+
+import tpujpeg
+from tpujpeg.config import DecodeConfig
+from tpujpeg.parallel import halo
+
+
+needs_devices = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+@needs_devices
+def test_decode_sharded_matches_pil():
+    # 4:2:0, mcus_y = 256/16 = 16 rows -> 8 shards x 2 MCU rows, with
+    # h2v2 halo exchange at every shard boundary.
+    data = make_jpeg(192, 256, seed=21, subsampling=2)
+    out = halo.decode_sharded(data, n_shards=8)
+    np.testing.assert_array_equal(out, pil_decode(data))
+
+
+@needs_devices
+def test_decode_sharded_422_and_444():
+    for ss in (1, 0):
+        data = make_jpeg(128, 128, seed=22, subsampling=ss)
+        out = halo.decode_sharded(data, n_shards=8)
+        np.testing.assert_array_equal(out, pil_decode(data))
+
+
+@needs_devices
+def test_decode_sharded_non_divisible_rows_falls_back():
+    # 9 MCU rows: not divisible by 8 -> decode_sharded reduces the shard
+    # count instead of failing.
+    data = make_jpeg(96, 144, seed=23, subsampling=2)
+    out = halo.decode_sharded(data, n_shards=8)
+    np.testing.assert_array_equal(out, pil_decode(data))
+
+
+@needs_devices
+def test_dc_prefix_fixup_contract():
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    n = 8
+    mesh = jax.make_mesh((n,), ("rows",))
+
+    def fixup(local):
+        return halo.dc_prefix_fixup(local[0], "rows")[None]
+
+    fx = jax.jit(
+        shard_map(
+            fixup, mesh=mesh, in_specs=P("rows", None),
+            out_specs=P("rows", None), check_vma=False,
+        )
+    )
+    totals = jnp.arange(n * 3, dtype=jnp.int32).reshape(n, 3)
+    fixed = np.asarray(fx(totals))
+    expect = np.cumsum(np.asarray(totals), axis=0) - np.asarray(totals)
+    np.testing.assert_array_equal(fixed, expect)
+
+
+@needs_devices
+def test_decode_batch_sharded_matches_pil():
+    datas = [make_jpeg(96, 64, seed=s, subsampling=2) for s in range(8)]
+    res = tpujpeg.decode_batch(datas, DecodeConfig(transform_engine="jnp"))
+    assert not res.errors
+    for d, img in zip(datas, res.images):
+        np.testing.assert_array_equal(img, pil_decode(d))

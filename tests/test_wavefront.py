@@ -66,3 +66,53 @@ def test_wavefront_truncated_raises():
     jpeg.scans[0].data = jpeg.scans[0].data[: len(jpeg.scans[0].data) // 4]
     with pytest.raises(JpegError):
         wavefront.decode_all_scans(jpeg)
+
+
+def test_wavefront_batched_multi_image_single_launch():
+    """Several images (different sizes, tables, segment structures)
+    merged into ONE wavefront launch (SURVEY.md §3.5)."""
+    import jax.numpy as jnp
+
+    datas = [
+        make_jpeg(64, 48, seed=1, subsampling=2),
+        make_jpeg(120, 88, seed=2, subsampling=2, restart_blocks=5),
+        make_jpeg(96, 80, seed=3, subsampling=0, quality=40),
+        make_jpeg(64, 64, seed=4, subsampling=2, mode="L"),
+    ]
+    jpegs = [bitstream.parse(d) for d in datas]
+    got, failures = wavefront.decode_batch_to_device(jpegs, strict=False)
+    assert not failures
+    for i, jpeg in enumerate(jpegs):
+        ref = huffman.decode_all_scans(jpeg)
+        for ci, (a, b) in enumerate(zip(ref, got[i])):
+            np.testing.assert_array_equal(
+                a, np.asarray(b), err_msg=f"image {i} component {ci}"
+            )
+
+
+def test_decode_batch_on_device_bit_exact_and_isolated():
+    """Full on-chip path: one wavefront launch + bucketed Pallas
+    transform; corrupt images are isolated, good ones bit-exact."""
+    from tpujpeg.parallel import batch as batch_lib
+
+    datas = [
+        make_jpeg(120, 88, seed=1, subsampling=2),
+        b"garbage",
+        make_jpeg(120, 88, seed=2, subsampling=2, kind="noise"),
+        make_jpeg(96, 64, seed=3, subsampling=0),  # different bucket
+    ]
+    res = batch_lib.decode_batch_on_device(datas)
+    assert set(res.errors) == {1}
+    for i in (0, 2, 3):
+        np.testing.assert_array_equal(res.images[i], pil_decode(datas[i]))
+
+
+def test_decode_batch_on_device_corrupt_stream_isolated():
+    from tpujpeg.parallel import batch as batch_lib
+
+    good = make_jpeg(64, 48, seed=5, subsampling=2)
+    bad = bytearray(make_jpeg(64, 48, seed=6, subsampling=2))
+    bad = bytes(bad[: len(bad) // 2]) + b"\x00" * 10 + b"\xff\xd9"
+    res = batch_lib.decode_batch_on_device([good, bad])
+    assert 0 not in res.errors
+    np.testing.assert_array_equal(res.images[0], pil_decode(good))

@@ -66,3 +66,12 @@ def decode_batch(datas, config=DEFAULT_CONFIG, **kw):
     from .parallel import batch as _batch
 
     return _batch.decode_batch(datas, config, **kw)
+
+
+def decode_batch_on_device(datas, config=DEFAULT_CONFIG):
+    """Full on-chip batched decode: one wavefront entropy launch for all
+    images' restart segments + Pallas transform per geometry bucket;
+    coefficients never touch the host (baseline JPEGs only)."""
+    from .parallel import batch as _batch
+
+    return _batch.decode_batch_on_device(datas, config)

@@ -3,6 +3,9 @@
 jnp fallbacks for layouts the kernels don't cover (exotic sampling
 ratios, 4-component, non-fancy upsampling). Must produce byte-identical
 output to transform.transform_frame — tests/test_kernels.py asserts it.
+
+Everything is built batched ([N, ...] with one device dispatch per
+bucket, SURVEY.md §3.5); the single-image path is the N=1 case.
 """
 
 from __future__ import annotations
@@ -23,24 +26,27 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _cm_to_plane(out_cm: jnp.ndarray, hb: int, wb: int) -> jnp.ndarray:
-    """[64, hb*wb] coefficient-major samples -> [hb*8, wb*8] raster."""
+def _cm_to_planes(out_cm: jnp.ndarray, n: int, hb: int, wb: int) -> jnp.ndarray:
+    """[64, N*hb*wb] coefficient-major samples -> [N, hb*8, wb*8] rasters."""
     return (
-        out_cm.reshape(8, 8, hb, wb).transpose(2, 0, 3, 1).reshape(hb * 8, wb * 8)
+        out_cm.reshape(8, 8, n, hb, wb)
+        .transpose(2, 3, 0, 4, 1)
+        .reshape(n, hb * 8, wb * 8)
     )
 
 
-def _edge_pad(plane: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """Pad to (h, w) replicating the bottom/right edges, so the fancy
-    filters' neighbor taps in the padding region replicate libjpeg's
-    edge behavior and padded outputs are discarded by the final crop."""
+def _edge_pad(planes: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Pad [N, ., .] to [N, h, w] replicating bottom/right edges, so the
+    fancy filters' neighbor taps in the padding region replicate
+    libjpeg's edge behavior; padded outputs fall to the final crop."""
     return jnp.pad(
-        plane, ((0, h - plane.shape[0]), (0, w - plane.shape[1])), mode="edge"
+        planes,
+        ((0, 0), (0, h - planes.shape[1]), (0, w - planes.shape[2])),
+        mode="edge",
     )
 
 
-@functools.lru_cache(maxsize=128)
-def _build(key: Tuple, idct_variant: str, fancy: bool, interpret: bool):
+def _make_frame(key: Tuple) -> bitstream.Frame:
     height, width, comps = key
     frame = bitstream.Frame(
         progressive=False,
@@ -49,58 +55,72 @@ def _build(key: Tuple, idct_variant: str, fancy: bool, interpret: bool):
         width=width,
         components=[
             bitstream.Component(index=i, cid=i, h=h, v=v, tq=0)
-            for i, (h, v, *_rest) in enumerate(comps)
+            for i, (h, v) in enumerate(comps)
         ],
     )
     frame.finalize()
+    return frame
 
+
+@functools.lru_cache(maxsize=128)
+def _build_batch(key: Tuple, idct_variant: str, fancy: bool, interpret: bool):
+    """Jitted [N, ...]-batched transform for one frame geometry."""
+    frame = _make_frame(key)
     expansions = [
         (frame.hmax // c.h, frame.vmax // c.v) for c in frame.components
     ]
 
     def fn(coeffs: Sequence[jnp.ndarray], qtabs: Sequence[jnp.ndarray]):
+        n = coeffs[0].shape[0]
         planes: List[jnp.ndarray] = []
         for ci, c in enumerate(frame.components):
+            nb = c.padded_hb * c.padded_wb
             if idct_variant == "matmul":
-                samples = idct_k.dequant_idct_matmul(coeffs[ci], qtabs[ci])
-                plane = T.blocks_to_plane(samples, c.padded_hb, c.padded_wb)
+                samples = idct_k.dequant_idct_matmul(
+                    coeffs[ci].reshape(n * nb, 64), qtabs[ci]
+                )
+                plane = T.blocks_to_plane(
+                    samples, n * c.padded_hb, c.padded_wb
+                ).reshape(n, c.padded_hb * 8, c.padded_wb * 8)
             else:
-                nb = c.padded_hb * c.padded_wb
-                pad = (-nb) % idct_k.LANE_TILE
-                cm = jnp.pad(coeffs[ci], ((0, pad), (0, 0))).T
+                flat = coeffs[ci].reshape(n * nb, 64)
+                pad = (-(n * nb)) % idct_k.LANE_TILE
+                cm = jnp.pad(flat, ((0, pad), (0, 0))).T
                 out_cm = idct_k.dequant_idct_islow_cm(
                     cm, qtabs[ci], interpret=interpret
                 )
-                plane = _cm_to_plane(out_cm[:, :nb], c.padded_hb, c.padded_wb)
-            planes.append(plane[: c.dheight, : c.dwidth])
+                plane = _cm_to_planes(
+                    out_cm[:, : n * nb], n, c.padded_hb, c.padded_wb
+                )
+            planes.append(plane[:, : c.dheight, : c.dwidth])
 
         if frame.n_components == 1:
-            return planes[0][: frame.height, : frame.width]
+            return planes[0][:, : frame.height, : frame.width]
 
         if frame.n_components == 3 and fancy:
             y, cb, cr = planes
             if expansions == [(1, 1), (2, 2), (2, 2)]:
-                hc = _round_up(cb.shape[0], sc_k.ROW_TILE)
-                wc = _round_up(cb.shape[1], 128)
-                rgb = sc_k.upsample_color_h2v2(
+                hc = _round_up(cb.shape[1], sc_k.ROW_TILE)
+                wc = _round_up(cb.shape[2], 128)
+                rgb = sc_k.upsample_color_h2v2_batch(
                     _edge_pad(y, 2 * hc, 2 * wc),
                     _edge_pad(cb, hc, wc),
                     _edge_pad(cr, hc, wc),
                     interpret=interpret,
                 )
             elif expansions == [(1, 1), (2, 1), (2, 1)]:
-                h = _round_up(cb.shape[0], sc_k.ROW_TILE)
-                wc = _round_up(cb.shape[1], 128)
-                rgb = sc_k.upsample_color_h2v1(
+                h = _round_up(cb.shape[1], sc_k.ROW_TILE)
+                wc = _round_up(cb.shape[2], 128)
+                rgb = sc_k.upsample_color_h2v1_batch(
                     _edge_pad(y, h, 2 * wc),
                     _edge_pad(cb, h, wc),
                     _edge_pad(cr, h, wc),
                     interpret=interpret,
                 )
             elif expansions == [(1, 1), (1, 1), (1, 1)]:
-                h = _round_up(y.shape[0], sc_k.ROW_TILE)
-                w = _round_up(y.shape[1], 128)
-                rgb = sc_k.color_444(
+                h = _round_up(y.shape[1], sc_k.ROW_TILE)
+                w = _round_up(y.shape[2], 128)
+                rgb = sc_k.color_444_batch(
                     _edge_pad(y, h, w),
                     _edge_pad(cb, h, w),
                     _edge_pad(cr, h, w),
@@ -109,19 +129,45 @@ def _build(key: Tuple, idct_variant: str, fancy: bool, interpret: bool):
             else:
                 rgb = None
             if rgb is not None:
-                return rgb[:, : frame.height, : frame.width].transpose(1, 2, 0)
+                # [N, 3, H, W] -> [N, H, W, 3], crop MCU padding.
+                return rgb[:, :, : frame.height, : frame.width].transpose(
+                    0, 2, 3, 1
+                )
 
-        # jnp fallback: replicate transform_frame's tail exactly.
-        ups = []
-        for ci, c in enumerate(frame.components):
-            he, ve = expansions[ci]
-            up = T.upsample_component(planes[ci], he, ve, fancy=fancy)
-            ups.append(up[: frame.height, : frame.width])
-        if frame.n_components == 3:
-            return T.ycc_to_rgb(ups[0], ups[1], ups[2])
-        return jnp.stack(ups, axis=-1)
+        # jnp fallback: replicate transform_frame's tail, vmapped.
+        def tail(planes_one):
+            ups = []
+            for ci in range(frame.n_components):
+                he, ve = expansions[ci]
+                up = T.upsample_component(planes_one[ci], he, ve, fancy=fancy)
+                ups.append(up[: frame.height, : frame.width])
+            if frame.n_components == 3:
+                return T.ycc_to_rgb(ups[0], ups[1], ups[2])
+            return jnp.stack(ups, axis=-1)
+
+        return jax.vmap(tail)(planes)
 
     return jax.jit(fn)
+
+
+def transform_batch(
+    frame: bitstream.Frame,
+    coeffs: Sequence,
+    qtabs: Sequence,
+    config: DecodeConfig,
+):
+    """coeffs[ci]: int32[N, padded_blocks, 64] zigzag; qtabs[ci]:
+    int32[64]. Returns uint8[N, H, W, 3] (or [N, H, W] grayscale)."""
+    key = (
+        frame.height,
+        frame.width,
+        tuple((c.h, c.v) for c in frame.components),
+    )
+    interpret = jax.default_backend() != "tpu"
+    fn = _build_batch(key, config.idct, config.fancy_upsampling, interpret)
+    return fn(
+        [jnp.asarray(c) for c in coeffs], [jnp.asarray(q) for q in qtabs]
+    )
 
 
 def transform_frame(
@@ -130,13 +176,7 @@ def transform_frame(
     qtabs: Sequence,
     config: DecodeConfig,
 ):
-    key = (
-        frame.height,
-        frame.width,
-        tuple((c.h, c.v) for c in frame.components),
+    out = transform_batch(
+        frame, [jnp.asarray(c)[None] for c in coeffs], qtabs, config
     )
-    interpret = jax.default_backend() != "tpu"
-    fn = _build(key, config.idct, config.fancy_upsampling, interpret)
-    return fn(
-        [jnp.asarray(c) for c in coeffs], [jnp.asarray(q) for q in qtabs]
-    )
+    return out[0]

@@ -13,6 +13,11 @@ the 2x2 interleave on uint8 output. Vertical strip halos arrive through
 8-row halo BlockSpecs (Mosaic-legal) whose edge row is selected
 in-kernel; global edges replicate, matching libjpeg.
 
+All kernels are batched: inputs carry a leading image axis and the grid
+is (image, strip), so a whole same-geometry bucket decodes in ONE
+device dispatch (SURVEY.md §3.5 batching; dispatch round-trips are
+expensive on tunneled runtimes). Single-image wrappers pass N=1.
+
 Arithmetic is the same libjpeg fixed-point as transform.py (h2v1/h2v2
 fancy filter biases, 16-bit color constants) — bit-exact vs the jnp
 reference and therefore vs libjpeg/PIL.
@@ -60,19 +65,19 @@ def _right(v):
 
 def _kernel_h2v2(y_ref, cbc_ref, cba_ref, cbb_ref, crc_ref, cra_ref, crb_ref,
                  r_ref, g_ref, b_ref):
-    """One strip: T2 chroma rows + 8-row halo blocks -> [4, T2, Wc]
-    phase-stacked RGB. y_ref: [4, T2, Wc] phase-split luma."""
-    t2 = cbc_ref.shape[0]
-    i = pl.program_id(0)
-    n = pl.num_programs(0)
+    """One strip of one image: T2 chroma rows + 8-row halo blocks ->
+    [4, T2, Wc] phase-stacked RGB. y_ref: [1, 4, T2, Wc] phase-split."""
+    t2 = cbc_ref.shape[1]
+    i = pl.program_id(1)
+    n = pl.num_programs(1)
 
     def phases(c_ref, a_ref, b_ref_):
-        c = c_ref[:].astype(jnp.int32)
+        c = c_ref[0].astype(jnp.int32)
         above_row = jnp.where(
-            i > 0, a_ref[7:8].astype(jnp.int32), c[0:1]
+            i > 0, a_ref[0, 7:8].astype(jnp.int32), c[0:1]
         )
         below_row = jnp.where(
-            i < n - 1, b_ref_[0:1].astype(jnp.int32), c[t2 - 1 : t2]
+            i < n - 1, b_ref_[0, 0:1].astype(jnp.int32), c[t2 - 1 : t2]
         )
         above = jnp.concatenate([above_row, c[:-1]], axis=0)
         below = jnp.concatenate([c[1:], below_row], axis=0)
@@ -88,77 +93,84 @@ def _kernel_h2v2(y_ref, cbc_ref, cba_ref, cbb_ref, crc_ref, cra_ref, crb_ref,
     cb4 = phases(cbc_ref, cba_ref, cbb_ref)
     cr4 = phases(crc_ref, cra_ref, crb_ref)
     for p in range(4):
-        r, g, b = _color(y_ref[p], cb4[p], cr4[p])
-        r_ref[p] = r
-        g_ref[p] = g
-        b_ref[p] = b
+        r, g, b = _color(y_ref[0, p], cb4[p], cr4[p])
+        r_ref[0, p] = r
+        g_ref[0, p] = g
+        b_ref[0, p] = b
 
 
 def _kernel_h2v1(y_ref, cb_ref, cr_ref, r_ref, g_ref, b_ref):
     """One strip of T rows; two column phases (biases 1/2, shift 2)."""
-    cb = cb_ref[:].astype(jnp.int32)
-    cr = cr_ref[:].astype(jnp.int32)
+    cb = cb_ref[0].astype(jnp.int32)
+    cr = cr_ref[0].astype(jnp.int32)
     cb2 = ((3 * cb + _left(cb) + 1) >> 2, (3 * cb + _right(cb) + 2) >> 2)
     cr2 = ((3 * cr + _left(cr) + 1) >> 2, (3 * cr + _right(cr) + 2) >> 2)
     for p in range(2):
-        r, g, b = _color(y_ref[p], cb2[p], cr2[p])
-        r_ref[p] = r
-        g_ref[p] = g
-        b_ref[p] = b
+        r, g, b = _color(y_ref[0, p], cb2[p], cr2[p])
+        r_ref[0, p] = r
+        g_ref[0, p] = g
+        b_ref[0, p] = b
 
 
 def _kernel_444(y_ref, cb_ref, cr_ref, r_ref, g_ref, b_ref):
     r, g, b = _color(
-        y_ref[:], cb_ref[:].astype(jnp.int32), cr_ref[:].astype(jnp.int32)
+        y_ref[0], cb_ref[0].astype(jnp.int32), cr_ref[0].astype(jnp.int32)
     )
-    r_ref[:] = r
-    g_ref[:] = g
-    b_ref[:] = b
+    r_ref[0] = r
+    g_ref[0] = g
+    b_ref[0] = b
 
 
 def _phase_split(y: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
-    """[ph*H, pw*W] -> [ph*pw, H, W]: phase (a, b) holds y[a::ph, b::pw]."""
-    h, w = y.shape[0] // ph, y.shape[1] // pw
+    """[N, ph*H, pw*W] -> [N, ph*pw, H, W]: phase (a, b) = y[:, a::ph, b::pw]."""
+    n = y.shape[0]
+    h, w = y.shape[1] // ph, y.shape[2] // pw
     return (
-        y.reshape(h, ph, w, pw).transpose(1, 3, 0, 2).reshape(ph * pw, h, w)
+        y.reshape(n, h, ph, w, pw)
+        .transpose(0, 2, 4, 1, 3)
+        .reshape(n, ph * pw, h, w)
     )
 
 
 def _phase_merge(ph_stack: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
-    """[C, ph*pw, H, W] -> [C, ph*H, pw*W] (inverse of _phase_split)."""
-    c, _, h, w = ph_stack.shape
+    """[N, C, ph*pw, H, W] -> [N, C, ph*H, pw*W] (inverse of _phase_split)."""
+    n, c, _, h, w = ph_stack.shape
     return (
-        ph_stack.reshape(c, ph, pw, h, w)
-        .transpose(0, 3, 1, 4, 2)
-        .reshape(c, ph * h, pw * w)
+        ph_stack.reshape(n, c, ph, pw, h, w)
+        .transpose(0, 1, 4, 2, 5, 3)
+        .reshape(n, c, ph * h, pw * w)
     )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def upsample_color_h2v2(y, cb, cr, interpret: bool = False):
-    """y: uint8[2*Hc, 2*Wc]; cb, cr: uint8[Hc, Wc]. Hc a multiple of
-    ROW_TILE, Wc of 128 (caller edge-pads). Returns uint8[3, 2Hc, 2Wc]."""
-    hc, wc = cb.shape
-    assert hc % ROW_TILE == 0 and y.shape == (2 * hc, 2 * wc), (y.shape, cb.shape)
+def upsample_color_h2v2_batch(y, cb, cr, interpret: bool = False):
+    """y: uint8[N, 2Hc, 2Wc]; cb, cr: uint8[N, Hc, Wc]. Hc a multiple of
+    ROW_TILE, Wc of 128 (caller edge-pads). Returns uint8[N, 3, 2Hc, 2Wc]."""
+    n, hc, wc = cb.shape
+    assert hc % ROW_TILE == 0 and y.shape == (n, 2 * hc, 2 * wc), (y.shape, cb.shape)
     t2 = ROW_TILE
-    grid = (hc // t2,)
-    y4 = _phase_split(y, 2, 2)  # [4, Hc, Wc]
+    grid = (n, hc // t2)
+    y4 = _phase_split(y, 2, 2)  # [N, 4, Hc, Wc]
 
-    center = pl.BlockSpec((t2, wc), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    center = pl.BlockSpec(
+        (1, t2, wc), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
     # Halo blocks: 8-row windows (Mosaic-legal) whose edge row is the
-    # strip's vertical neighbor; clamped at the global edges (the kernel
+    # strip's vertical neighbor; clamped at the image edges (the kernel
     # replicates its own edge row there instead).
     n8 = t2 // 8
     above = pl.BlockSpec(
-        (8, wc), lambda i: (jnp.maximum(i * n8 - 1, 0), 0),
+        (1, 8, wc), lambda b, i: (b, jnp.maximum(i * n8 - 1, 0), 0),
         memory_space=pltpu.VMEM,
     )
     below = pl.BlockSpec(
-        (8, wc), lambda i: (jnp.minimum((i + 1) * n8, hc // 8 - 1), 0),
+        (1, 8, wc), lambda b, i: (b, jnp.minimum((i + 1) * n8, hc // 8 - 1), 0),
         memory_space=pltpu.VMEM,
     )
-    pspec = pl.BlockSpec((4, t2, wc), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    pshape = jax.ShapeDtypeStruct((4, hc, wc), jnp.uint8)
+    pspec = pl.BlockSpec(
+        (1, 4, t2, wc), lambda b, i: (b, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    pshape = jax.ShapeDtypeStruct((n, 4, hc, wc), jnp.uint8)
     r, g, b = pl.pallas_call(
         _kernel_h2v2,
         grid=grid,
@@ -167,20 +179,24 @@ def upsample_color_h2v2(y, cb, cr, interpret: bool = False):
         out_shape=(pshape, pshape, pshape),
         interpret=interpret,
     )(y4, cb, cb, cb, cr, cr, cr)
-    return _phase_merge(jnp.stack([r, g, b]), 2, 2)
+    return _phase_merge(jnp.stack([r, g, b], axis=1), 2, 2)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def upsample_color_h2v1(y, cb, cr, interpret: bool = False):
-    """y: uint8[H, 2*Wc]; cb, cr: uint8[H, Wc], H multiple of ROW_TILE."""
-    h, wc = cb.shape
-    assert h % ROW_TILE == 0 and y.shape == (h, 2 * wc)
+def upsample_color_h2v1_batch(y, cb, cr, interpret: bool = False):
+    """y: uint8[N, H, 2Wc]; cb, cr: uint8[N, H, Wc], H mult of ROW_TILE."""
+    n, h, wc = cb.shape
+    assert h % ROW_TILE == 0 and y.shape == (n, h, 2 * wc)
     t = ROW_TILE
-    grid = (h // t,)
-    y2 = _phase_split(y, 1, 2)  # [2, H, Wc]
-    cspec = pl.BlockSpec((t, wc), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    pspec = pl.BlockSpec((2, t, wc), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    pshape = jax.ShapeDtypeStruct((2, h, wc), jnp.uint8)
+    grid = (n, h // t)
+    y2 = _phase_split(y, 1, 2)  # [N, 2, H, Wc]
+    cspec = pl.BlockSpec(
+        (1, t, wc), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    pspec = pl.BlockSpec(
+        (1, 2, t, wc), lambda b, i: (b, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    pshape = jax.ShapeDtypeStruct((n, 2, h, wc), jnp.uint8)
     r, g, b = pl.pallas_call(
         _kernel_h2v1,
         grid=grid,
@@ -189,18 +205,20 @@ def upsample_color_h2v1(y, cb, cr, interpret: bool = False):
         out_shape=(pshape, pshape, pshape),
         interpret=interpret,
     )(y2, cb, cr)
-    return _phase_merge(jnp.stack([r, g, b]), 1, 2)
+    return _phase_merge(jnp.stack([r, g, b], axis=1), 1, 2)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def color_444(y, cb, cr, interpret: bool = False):
-    """Full-resolution planes -> RGB. H multiple of ROW_TILE."""
-    h, w = y.shape
+def color_444_batch(y, cb, cr, interpret: bool = False):
+    """Full-resolution planes [N, H, W] -> [N, 3, H, W]. H mult of ROW_TILE."""
+    n, h, w = y.shape
     assert h % ROW_TILE == 0
     t = ROW_TILE
-    grid = (h // t,)
-    spec = pl.BlockSpec((t, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    oshape = jax.ShapeDtypeStruct((h, w), jnp.uint8)
+    grid = (n, h // t)
+    spec = pl.BlockSpec(
+        (1, t, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    oshape = jax.ShapeDtypeStruct((n, h, w), jnp.uint8)
     r, g, b = pl.pallas_call(
         _kernel_444,
         grid=grid,
@@ -209,4 +227,23 @@ def color_444(y, cb, cr, interpret: bool = False):
         out_shape=(oshape, oshape, oshape),
         interpret=interpret,
     )(y, cb, cr)
-    return jnp.stack([r, g, b])
+    return jnp.stack([r, g, b], axis=1)
+
+
+# Single-image wrappers (N=1), keeping the original API.
+
+
+def upsample_color_h2v2(y, cb, cr, interpret: bool = False):
+    return upsample_color_h2v2_batch(
+        y[None], cb[None], cr[None], interpret=interpret
+    )[0]
+
+
+def upsample_color_h2v1(y, cb, cr, interpret: bool = False):
+    return upsample_color_h2v1_batch(
+        y[None], cb[None], cr[None], interpret=interpret
+    )[0]
+
+
+def color_444(y, cb, cr, interpret: bool = False):
+    return color_444_batch(y[None], cb[None], cr[None], interpret=interpret)[0]

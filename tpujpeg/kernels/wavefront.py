@@ -5,24 +5,25 @@ One decode *lane* per restart segment: T.81 §E.2.4 resets DC predictors
 and byte-aligns at every RSTn, so segments share no state and thousands
 of lanes can advance in lockstep. Each wavefront step decodes one
 Huffman symbol (code + magnitude bits) per lane from a shared packed
-LUT, updates per-lane cursors/predictors, and scatters at most one
-coefficient per lane into the flat coefficient tensor.
+LUT, updates per-lane cursors/predictors, and appends at most one
+coefficient per lane to step-indexed emission buffers; one sorted
+scatter materializes the coefficient tensor after the loop (emission
+positions are per-lane monotonic and globally unique, so the scatter
+carries indices_are_sorted + unique_indices — the fast TPU lowering;
+the naive unsorted scatter serializes and costs >100 ms).
 
 This is the XLA formulation (jnp ops under jax.jit + lax.while_loop):
 it runs identically on CPU (the conformance/test path, config 1) and
-TPU. All data-dependent control flow is expressed as masked vector
-arithmetic — the TPU-native shape of a bit-serial algorithm.
+TPU. All data-dependent control flow is masked vector arithmetic — the
+TPU-native shape of a bit-serial algorithm. Measured on v5e: the decode
+loop itself is sub-millisecond for a 4 MP image at 4096 lanes; wall
+time is dominated by host<->device transfers, so the public APIs keep
+coefficients ON DEVICE and hand them straight to the transform kernels.
 
-Layout notes:
-  * the destuffed bitstream ships to the device as big-endian uint32
-    words; a lane reads a 32-bit window at any bit offset from two
-    adjacent words (code<=16 + magnitude<=15 bits never crosses it);
-  * Huffman tables ship as one packed [8, 65536] uint16 LUT
-    (len<<8 | symbol), indexed by table id and the next 16 stream bits
-    (SURVEY.md §2.1 #4: flat LUTs shared with the device decoder);
-  * per-(MCU, block) output positions are precomputed host-side into an
-    int32 table — the "segment index table" of SURVEY.md §3.4 extended
-    to block granularity, so the device never does geometry arithmetic.
+Batching: any number of (image, scan) pairs merge into ONE launch —
+lanes carry per-lane base offsets into concatenated bitstream/table/
+output spaces, so a 1024-image bucket decodes as one wavefront
+(SURVEY.md §3.5 "one wavefront launch over all images' segments").
 
 Scope: baseline (sequential) scans. Progressive scans fall back to the
 native host decoder (SURVEY.md §7.2 hard-part 5: refinement stays
@@ -48,11 +49,13 @@ from ..errors import (
     JpegUnsupportedError,
 )
 
-LANE_PAD = 128  # pad lane count so state tensors are lane-aligned
-
 _ERR_NONE = 0
 _ERR_BADCODE = 1
 _ERR_RUN = 2
+
+# Symbols decoded per lane per while-loop iteration: amortizes the
+# fixed per-iteration overhead of the compiled loop body.
+UNROLL = 4
 
 
 # ---------------------------------------------------------------------------
@@ -61,22 +64,31 @@ _ERR_RUN = 2
 
 
 @dataclasses.dataclass
-class ScanPlan:
-    """Static device inputs for one scan's wavefront launch."""
+class BatchPlan:
+    """Static device inputs for one merged wavefront launch covering any
+    number of (image, scan) pairs."""
 
-    words: np.ndarray          # uint32[nwords] big-endian bitstream
-    lut: np.ndarray            # uint16[8, 65536] packed (len<<8|sym)
-    out_block: np.ndarray      # int32[total_mcus * B] flat block ids
-    seg_bit_start: np.ndarray  # int32[L]
-    seg_bit_len: np.ndarray    # int32[L]
-    first_mcu: np.ndarray      # int32[L]
-    lane_mcus: np.ndarray      # int32[L]
-    sp_of_blk: np.ndarray      # int32[B] scan-component of block position
-    dc_tid: np.ndarray         # int32[B] LUT row for DC table
-    ac_tid: np.ndarray         # int32[B] LUT row for AC table
+    words: np.ndarray          # uint32[nwords] big-endian bitstream (all)
+    lut: np.ndarray            # uint16[8 * n_scans, 65536]
+    out_block: np.ndarray      # int32[sum over scans of mcus*B]
+    sp_tbl: np.ndarray         # int32[sum B] scan-component of block pos
+    dc_row: np.ndarray         # int32[sum B] absolute LUT row for DC
+    ac_row: np.ndarray         # int32[sum B] absolute LUT row for AC
+    # Per-lane vectors [L]:
+    seg_bit_start: np.ndarray  # int32
+    seg_bit_len: np.ndarray    # int32
+    first_mcu: np.ndarray      # int32 (scan-local)
+    lane_mcus: np.ndarray      # int32
+    obase: np.ndarray          # int32: out_block base of the lane's scan
+    tbase: np.ndarray          # int32: sp/dc/ac table base of the scan
+    bpm: np.ndarray            # int32: blocks per MCU of the lane's scan
+    lane_image: np.ndarray     # int32: image index (error reporting)
     n_lanes: int
-    blocks_per_mcu: int
     max_steps: int
+    total_coeffs: int
+    # Per image: coefficient base offset (in blocks) of each component.
+    comp_block_offsets: List[List[int]]
+    comp_blocks: List[List[int]]
 
 
 def _pack_luts(huff: Dict[Tuple[int, int], bitstream.HuffSpec]) -> np.ndarray:
@@ -91,130 +103,188 @@ def _pack_luts(huff: Dict[Tuple[int, int], bitstream.HuffSpec]) -> np.ndarray:
     return lut
 
 
-def build_scan_plan(
-    jpeg: bitstream.JpegData, scan: bitstream.Scan
-) -> ScanPlan:
-    frame = jpeg.frame
-    if frame.progressive:
-        raise JpegUnsupportedError(
-            "wavefront engine decodes baseline scans only"
-        )
-
-    # Destuffed bitstream + segment table: native scanner when available,
-    # Python fallback otherwise (same output, tests assert so).
+def _destuff(scan: bitstream.Scan) -> Tuple[np.ndarray, np.ndarray]:
+    """Destuffed scan bytes + segment start offsets (native scanner when
+    available, Python fallback — same output, tests assert so)."""
     try:
         from ..native import entropy as native_entropy
 
         buf, starts = native_entropy.destuff_segments(scan)
-        buf = np.asarray(buf)
-        seg_starts = np.asarray(starts)
+        return np.asarray(buf), np.asarray(starts)
     except Exception:
         pieces = bitstream.split_restart_segments(scan)
         buf = np.frombuffer(b"".join(pieces), dtype=np.uint8)
-        seg_starts = np.zeros(len(pieces) + 1, dtype=np.int64)
-        np.cumsum([len(p) for p in pieces], out=seg_starts[1:])
+        starts = np.zeros(len(pieces) + 1, dtype=np.int64)
+        np.cumsum([len(p) for p in pieces], out=starts[1:])
+        return buf, starts
 
-    # Geometry / MCU accounting.
-    interleaved = scan.n_comps > 1
-    if interleaved:
-        total_mcus = frame.mcus_x * frame.mcus_y
-    else:
-        c0 = frame.components[scan.comp_indices[0]]
-        total_mcus = c0.width_blocks * c0.height_blocks
-    ri = scan.restart_interval or total_mcus
 
-    n_seg_needed = -(-total_mcus // ri)
-    n_seg_have = len(seg_starts) - 1
-    if n_seg_have < n_seg_needed:
-        raise JpegTruncatedError(
-            f"scan has {n_seg_have} segments, needs {n_seg_needed}"
-        )
+def build_batch_plan(jpegs: Sequence[bitstream.JpegData]) -> BatchPlan:
+    """Merge every scan of every image into one wavefront launch."""
+    word_chunks: List[np.ndarray] = []
+    luts: List[np.ndarray] = []
+    out_blocks: List[np.ndarray] = []
+    sp_tbl: List[np.ndarray] = []
+    dc_row: List[np.ndarray] = []
+    ac_row: List[np.ndarray] = []
+    lane_cols: List[List[np.ndarray]] = [[] for _ in range(8)]
 
-    # Lane tables.
-    L = n_seg_needed
-    first_mcu = (np.arange(L, dtype=np.int64) * ri).astype(np.int32)
-    lane_mcus = np.minimum(ri, total_mcus - first_mcu).astype(np.int32)
-    seg_bit_start = (seg_starts[:L] * 8).astype(np.int32)
-    seg_bit_len = ((seg_starts[1 : L + 1] - seg_starts[:L]) * 8).astype(
-        np.int32
-    )
+    bit_base = 0       # bits consumed by previous chunks
+    ob_base = 0        # out_block entries so far
+    tb_base = 0        # table entries so far
+    lut_base = 0       # LUT rows so far
+    coeff_base = 0     # coefficient-tensor blocks so far
+    comp_block_offsets: List[List[int]] = []
+    comp_blocks: List[List[int]] = []
+    max_steps = 0
 
-    # Per-block-position metadata (T.81 §A.2.3 order).
-    comp_block_offset = np.zeros(frame.n_components, dtype=np.int64)
-    acc = 0
-    for ci, c in enumerate(frame.components):
-        comp_block_offset[ci] = acc
-        acc += c.padded_hb * c.padded_wb
-
-    sp_of_blk: List[int] = []
-    dc_tid: List[int] = []
-    ac_tid: List[int] = []
-    blk_meta: List[Tuple[int, int, int]] = []  # (ci, dv, dh)
-    if interleaved:
-        for sp, ci in enumerate(scan.comp_indices):
-            c = frame.components[ci]
-            for v in range(c.v):
-                for h in range(c.h):
-                    sp_of_blk.append(sp)
-                    dc_tid.append(0 * 4 + scan.dc_ids[sp])
-                    ac_tid.append(1 * 4 + scan.ac_ids[sp])
-                    blk_meta.append((ci, v, h))
-    else:
-        sp_of_blk.append(0)
-        dc_tid.append(0 * 4 + scan.dc_ids[0])
-        ac_tid.append(1 * 4 + scan.ac_ids[0])
-        blk_meta.append((scan.comp_indices[0], 0, 0))
-    B = len(blk_meta)
-
-    # Validate referenced tables exist (syntax errors surface on host).
-    for sp in range(scan.n_comps):
-        if (0, scan.dc_ids[sp]) not in scan.huff:
-            raise JpegSyntaxError(f"missing DC Huffman table {scan.dc_ids[sp]}")
-        if (1, scan.ac_ids[sp]) not in scan.huff:
-            raise JpegSyntaxError(f"missing AC Huffman table {scan.ac_ids[sp]}")
-
-    # Flat output block id per (mcu, block position), vectorized.
-    m = np.arange(total_mcus, dtype=np.int64)
-    out_block = np.empty((total_mcus, B), dtype=np.int64)
-    if interleaved:
-        my, mx = m // frame.mcus_x, m % frame.mcus_x
-        for b, (ci, dv, dh) in enumerate(blk_meta):
-            c = frame.components[ci]
-            out_block[:, b] = (
-                comp_block_offset[ci]
-                + (my * c.v + dv) * c.padded_wb
-                + (mx * c.h + dh)
+    for img_i, jpeg in enumerate(jpegs):
+        frame = jpeg.frame
+        if frame.progressive:
+            raise JpegUnsupportedError(
+                "wavefront engine decodes baseline scans only"
             )
-    else:
-        ci = scan.comp_indices[0]
-        c = frame.components[ci]
-        by, bx = m // c.width_blocks, m % c.width_blocks
-        out_block[:, 0] = comp_block_offset[ci] + by * c.padded_wb + bx
+        offs = []
+        blocks = []
+        acc = coeff_base
+        for c in frame.components:
+            offs.append(acc)
+            blocks.append(c.padded_hb * c.padded_wb)
+            acc += c.padded_hb * c.padded_wb
+        comp_block_offsets.append(offs)
+        comp_blocks.append(blocks)
 
-    # Bitstream as big-endian words, padded with 0xFF + guard word.
-    nbytes = len(buf)
-    pad = (-nbytes) % 4 + 8
-    padded = np.concatenate([buf, np.full(pad, 0xFF, dtype=np.uint8)])
-    words = padded.view(">u4").astype(np.uint32)
+        for scan in jpeg.scans:
+            buf, seg_starts = _destuff(scan)
 
-    # Upper bound on wavefront steps for the busiest lane: every
-    # coefficient of every block + one EOB per block.
-    max_steps = int(lane_mcus.max()) * B * 65 if L else 0
+            interleaved = scan.n_comps > 1
+            if interleaved:
+                total_mcus = frame.mcus_x * frame.mcus_y
+            else:
+                c0 = frame.components[scan.comp_indices[0]]
+                total_mcus = c0.width_blocks * c0.height_blocks
+            ri = scan.restart_interval or total_mcus
 
-    return ScanPlan(
-        words=words,
-        lut=_pack_luts(scan.huff),
-        out_block=out_block.reshape(-1).astype(np.int32),
-        seg_bit_start=seg_bit_start,
-        seg_bit_len=seg_bit_len,
-        first_mcu=first_mcu,
-        lane_mcus=lane_mcus,
-        sp_of_blk=np.asarray(sp_of_blk, dtype=np.int32),
-        dc_tid=np.asarray(dc_tid, dtype=np.int32),
-        ac_tid=np.asarray(ac_tid, dtype=np.int32),
-        n_lanes=L,
-        blocks_per_mcu=B,
+            n_seg_needed = -(-total_mcus // ri)
+            n_seg_have = len(seg_starts) - 1
+            if n_seg_have < n_seg_needed:
+                raise JpegTruncatedError(
+                    f"scan has {n_seg_have} segments, needs {n_seg_needed}"
+                )
+
+            for sp in range(scan.n_comps):
+                if (0, scan.dc_ids[sp]) not in scan.huff:
+                    raise JpegSyntaxError(
+                        f"missing DC Huffman table {scan.dc_ids[sp]}"
+                    )
+                if (1, scan.ac_ids[sp]) not in scan.huff:
+                    raise JpegSyntaxError(
+                        f"missing AC Huffman table {scan.ac_ids[sp]}"
+                    )
+
+            # Per-block-position metadata (T.81 §A.2.3 order).
+            blk_meta: List[Tuple[int, int, int]] = []  # (ci, dv, dh)
+            sps: List[int] = []
+            dcs: List[int] = []
+            acs: List[int] = []
+            if interleaved:
+                for sp, ci in enumerate(scan.comp_indices):
+                    c = frame.components[ci]
+                    for v in range(c.v):
+                        for h in range(c.h):
+                            sps.append(sp)
+                            dcs.append(lut_base + 0 * 4 + scan.dc_ids[sp])
+                            acs.append(lut_base + 1 * 4 + scan.ac_ids[sp])
+                            blk_meta.append((ci, v, h))
+            else:
+                sps.append(0)
+                dcs.append(lut_base + 0 * 4 + scan.dc_ids[0])
+                acs.append(lut_base + 1 * 4 + scan.ac_ids[0])
+                blk_meta.append((scan.comp_indices[0], 0, 0))
+            B = len(blk_meta)
+
+            # Flat output block id per (mcu, block position).
+            m = np.arange(total_mcus, dtype=np.int64)
+            ob = np.empty((total_mcus, B), dtype=np.int64)
+            if interleaved:
+                my, mx = m // frame.mcus_x, m % frame.mcus_x
+                for b, (ci, dv, dh) in enumerate(blk_meta):
+                    c = frame.components[ci]
+                    ob[:, b] = (
+                        offs[ci]
+                        + (my * c.v + dv) * c.padded_wb
+                        + (mx * c.h + dh)
+                    )
+            else:
+                ci = scan.comp_indices[0]
+                c = frame.components[ci]
+                by, bx = m // c.width_blocks, m % c.width_blocks
+                ob[:, 0] = offs[ci] + by * c.padded_wb + bx
+
+            # Lane vectors for this scan.
+            L = n_seg_needed
+            fm = (np.arange(L, dtype=np.int64) * ri).astype(np.int32)
+            lm = np.minimum(ri, total_mcus - fm).astype(np.int32)
+            sbs = (bit_base + seg_starts[:L] * 8).astype(np.int32)
+            sbl = ((seg_starts[1 : L + 1] - seg_starts[:L]) * 8).astype(
+                np.int32
+            )
+            cols = [
+                sbs, sbl, fm, lm,
+                np.full(L, ob_base, np.int32),
+                np.full(L, tb_base, np.int32),
+                np.full(L, B, np.int32),
+                np.full(L, img_i, np.int32),
+            ]
+            for j in range(8):
+                lane_cols[j].append(cols[j])
+
+            max_steps = max(max_steps, int(lm.max()) * B * 65 if L else 0)
+
+            # Bitstream chunk, padded to word alignment (bit_base stays
+            # word-aligned so per-chunk seg starts add cleanly).
+            nbytes = len(buf)
+            pad = (-nbytes) % 4
+            padded = np.concatenate(
+                [buf, np.full(pad, 0xFF, dtype=np.uint8)]
+            )
+            word_chunks.append(padded.view(">u4").astype(np.uint32))
+            bit_base += (nbytes + pad) * 8
+
+            luts.append(_pack_luts(scan.huff))
+            out_blocks.append(ob.reshape(-1))
+            sp_tbl.append(np.asarray(sps, np.int32))
+            dc_row.append(np.asarray(dcs, np.int32))
+            ac_row.append(np.asarray(acs, np.int32))
+            ob_base += ob.size
+            tb_base += B
+            lut_base += 8
+
+        coeff_base = acc
+
+    # Guard words so end-of-stream windows read 1-bits.
+    word_chunks.append(np.full(2, 0xFFFFFFFF, dtype=np.uint32))
+
+    return BatchPlan(
+        words=np.concatenate(word_chunks),
+        lut=np.concatenate(luts, axis=0),
+        out_block=np.concatenate(out_blocks).astype(np.int32),
+        sp_tbl=np.concatenate(sp_tbl),
+        dc_row=np.concatenate(dc_row),
+        ac_row=np.concatenate(ac_row),
+        seg_bit_start=np.concatenate(lane_cols[0]),
+        seg_bit_len=np.concatenate(lane_cols[1]),
+        first_mcu=np.concatenate(lane_cols[2]),
+        lane_mcus=np.concatenate(lane_cols[3]),
+        obase=np.concatenate(lane_cols[4]),
+        tbase=np.concatenate(lane_cols[5]),
+        bpm=np.concatenate(lane_cols[6]),
+        lane_image=np.concatenate(lane_cols[7]),
+        n_lanes=sum(len(c) for c in lane_cols[0]),
         max_steps=max_steps,
+        total_coeffs=coeff_base * 64,
+        comp_block_offsets=comp_block_offsets,
+        comp_blocks=comp_blocks,
     )
 
 
@@ -224,29 +294,30 @@ def build_scan_plan(
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("n_lanes", "blocks_per_mcu", "max_steps", "total_coeffs"),
+    jax.jit, static_argnames=("n_lanes", "max_steps", "total_coeffs")
 )
 def _wavefront_decode(
     words: jnp.ndarray,
     lut: jnp.ndarray,
     out_block: jnp.ndarray,
+    sp_tbl: jnp.ndarray,
+    dc_row: jnp.ndarray,
+    ac_row: jnp.ndarray,
     seg_bit_start: jnp.ndarray,
     seg_bit_len: jnp.ndarray,
     first_mcu: jnp.ndarray,
     lane_mcus: jnp.ndarray,
-    sp_of_blk: jnp.ndarray,
-    dc_tid: jnp.ndarray,
-    ac_tid: jnp.ndarray,
+    obase: jnp.ndarray,
+    tbase: jnp.ndarray,
+    bpm: jnp.ndarray,
     n_lanes: int,
-    blocks_per_mcu: int,
     max_steps: int,
     total_coeffs: int,
 ):
     """Run the lockstep wavefront. Returns (coeff_flat, err, consumed,
     mcu_done) — validation happens on host."""
     L = n_lanes
-    B = blocks_per_mcu
+    n_iters = -(-max_steps // UNROLL)
 
     def window32(bitpos):
         """32-bit MSB-first window at absolute bit offset, per lane.
@@ -261,16 +332,16 @@ def _wavefront_decode(
         )
         return (hi << sh) | lo_part
 
-    # State: [L] vectors.
     state = dict(
         bit=seg_bit_start.astype(jnp.int32),      # absolute bit cursor
-        mcu=first_mcu.astype(jnp.int32),          # current global MCU
+        mcu=first_mcu.astype(jnp.int32),          # scan-local MCU index
         mcu_done=jnp.zeros(L, jnp.int32),         # MCUs finished in lane
         blk=jnp.zeros(L, jnp.int32),              # block position in MCU
         k=jnp.zeros(L, jnp.int32),                # next coeff (0 => DC)
-        pred=jnp.zeros((L, 4), jnp.int32),        # DC predictors
+        pred=tuple(jnp.zeros(L, jnp.int32) for _ in range(4)),
         err=jnp.zeros(L, jnp.int32),
-        coeff=jnp.zeros(total_coeffs, jnp.int32),
+        out_pos=jnp.full((n_iters * UNROLL, L), total_coeffs, jnp.int32),
+        out_val=jnp.zeros((n_iters * UNROLL, L), jnp.int32),
         step=jnp.asarray(0, jnp.int32),
     )
 
@@ -280,25 +351,27 @@ def _wavefront_decode(
         return (s["mcu_done"] < lane_mcus) & (s["err"] == _ERR_NONE)
 
     def cond(s):
-        return jnp.any(active_mask(s)) & (s["step"] < max_steps)
+        return jnp.any(active_mask(s)) & (s["step"] < n_iters)
 
-    def body(s):
+    def micro_step(s):
+        """Decode one symbol per active lane; returns (s', pos, val)."""
         act = active_mask(s)
         bit = s["bit"]
         blk = s["blk"]
         k = s["k"]
         is_dc = k == 0
 
-        sp = jnp.take(sp_of_blk, blk, mode="clip")
-        tid = jnp.where(
+        ti = tbase + blk
+        sp = jnp.take(sp_tbl, ti, mode="clip")
+        lut_row = jnp.where(
             is_dc,
-            jnp.take(dc_tid, blk, mode="clip"),
-            jnp.take(ac_tid, blk, mode="clip"),
+            jnp.take(dc_row, ti, mode="clip"),
+            jnp.take(ac_row, ti, mode="clip"),
         )
 
         win = window32(bit)
         idx16 = (win >> np.uint32(16)).astype(jnp.int32)
-        entry = jnp.take(lut_flat, tid * 65536 + idx16, mode="clip")
+        entry = jnp.take(lut_flat, lut_row * 65536 + idx16, mode="clip")
         clen = entry >> 8
         sym = entry & 0xFF
         bad = act & (clen == 0)
@@ -324,11 +397,15 @@ def _wavefront_decode(
             mag,
         )
 
-        # --- DC path ---
-        new_pred_val = s["pred"][jnp.arange(L), sp] + val
+        # --- DC path: predictor update without scatter ---
+        cur_pred = s["pred"][0]
+        for i in (1, 2, 3):
+            cur_pred = jnp.where(sp == i, s["pred"][i], cur_pred)
+        new_pred_val = cur_pred + val
         dc_emit = act & is_dc
-        pred = s["pred"].at[jnp.arange(L), sp].set(
-            jnp.where(dc_emit, new_pred_val, s["pred"][jnp.arange(L), sp])
+        pred = tuple(
+            jnp.where(dc_emit & (sp == i), new_pred_val, s["pred"][i])
+            for i in range(4)
         )
 
         # --- AC path ---
@@ -338,36 +415,29 @@ def _wavefront_decode(
         ac_overrun = act & (~is_dc) & (size > 0) & (ac_k > 63)
         ac_emit = act & (~is_dc) & (size > 0) & (ac_k <= 63)
 
-        # Coefficient scatter (at most one per lane per step).
         blk_out = jnp.take(
-            out_block, s["mcu"] * B + blk, mode="clip"
+            out_block, obase + s["mcu"] * bpm + blk, mode="clip"
         )
         emit = dc_emit | ac_emit
         emit_k = jnp.where(is_dc, 0, ac_k)
         emit_val = jnp.where(is_dc, new_pred_val, val)
-        # Non-emitting lanes point PAST the array: mode='drop' discards
-        # out-of-bounds scatters, but a negative index would WRAP to the
-        # end of the tensor and corrupt the last coefficient.
+        # Non-emitting lanes point PAST the array: the final scatter
+        # drops out-of-bounds positions, whereas a negative index would
+        # WRAP and corrupt the last coefficient.
         pos = jnp.where(emit, blk_out * 64 + emit_k, total_coeffs)
-        coeff = s["coeff"].at[pos].set(emit_val, mode="drop")
 
         # Cursor advance.
-        consumed = jnp.where(act, clen + size, 0)
-        bit = bit + consumed
+        bit = bit + jnp.where(act, clen + size, 0)
 
         # Next-k state machine.
         k_next = jnp.where(
             is_dc,
             1,
-            jnp.where(
-                is_eob,
-                64,
-                jnp.where(is_zrl, k + 16, ac_k + 1),
-            ),
+            jnp.where(is_eob, 64, jnp.where(is_zrl, k + 16, ac_k + 1)),
         )
         block_done = act & (k_next >= 64)
         blk_next = jnp.where(block_done, blk + 1, blk)
-        mcu_wrap = blk_next >= B
+        mcu_wrap = blk_next >= bpm
         blk_next = jnp.where(mcu_wrap, 0, blk_next)
         mcu_next = jnp.where(block_done & mcu_wrap, s["mcu"] + 1, s["mcu"])
         mcu_done = s["mcu_done"] + jnp.where(block_done & mcu_wrap, 1, 0)
@@ -377,7 +447,8 @@ def _wavefront_decode(
         err = jnp.where(bad, _ERR_BADCODE, err)
         err = jnp.where(ac_overrun, _ERR_RUN, err)
 
-        return dict(
+        s2 = dict(
+            s,
             bit=jnp.where(act, bit, s["bit"]),
             mcu=jnp.where(act, mcu_next, s["mcu"]),
             mcu_done=jnp.where(act, mcu_done, s["mcu_done"]),
@@ -385,77 +456,145 @@ def _wavefront_decode(
             k=jnp.where(act, k_next, s["k"]),
             pred=pred,
             err=err,
-            coeff=coeff,
-            step=s["step"] + 1,
         )
+        return s2, pos, emit_val
+
+    def body(s):
+        chunk_pos = []
+        chunk_val = []
+        for _ in range(UNROLL):
+            s, pos, val = micro_step(s)
+            chunk_pos.append(pos)
+            chunk_val.append(val)
+        row = s["step"] * UNROLL
+        out_pos = jax.lax.dynamic_update_slice(
+            s["out_pos"], jnp.stack(chunk_pos), (row, 0)
+        )
+        out_val = jax.lax.dynamic_update_slice(
+            s["out_val"], jnp.stack(chunk_val), (row, 0)
+        )
+        return dict(s, out_pos=out_pos, out_val=out_val, step=s["step"] + 1)
 
     final = jax.lax.while_loop(cond, body, state)
+    # Emission positions are monotonic per lane and each coefficient is
+    # written at most once, so a global sort yields unique ascending
+    # indices (empty slots = total_coeffs sort to the tail) and the
+    # scatter carries indices_are_sorted + unique_indices — the fast
+    # TPU lowering (the unsorted scatter serializes: ~130 ms for 4 MP).
+    pos_s, val_s = jax.lax.sort(
+        (final["out_pos"].reshape(-1), final["out_val"].reshape(-1)),
+        num_keys=1,
+    )
+    coeff = jnp.zeros(total_coeffs, jnp.int32).at[pos_s].set(
+        val_s, mode="drop", unique_indices=True, indices_are_sorted=True
+    )
     consumed = final["bit"] - seg_bit_start
-    return final["coeff"], final["err"], consumed, final["mcu_done"]
+    return coeff, final["err"], consumed, final["mcu_done"]
 
 
 # ---------------------------------------------------------------------------
-# Public entry: all scans of one image
+# Public entries
 # ---------------------------------------------------------------------------
+
+
+def _run_plan(plan: BatchPlan):
+    return _wavefront_decode(
+        jnp.asarray(plan.words),
+        jnp.asarray(plan.lut),
+        jnp.asarray(plan.out_block),
+        jnp.asarray(plan.sp_tbl),
+        jnp.asarray(plan.dc_row),
+        jnp.asarray(plan.ac_row),
+        jnp.asarray(plan.seg_bit_start),
+        jnp.asarray(plan.seg_bit_len),
+        jnp.asarray(plan.first_mcu),
+        jnp.asarray(plan.lane_mcus),
+        jnp.asarray(plan.obase),
+        jnp.asarray(plan.tbase),
+        jnp.asarray(plan.bpm),
+        n_lanes=plan.n_lanes,
+        max_steps=plan.max_steps,
+        total_coeffs=plan.total_coeffs,
+    )
+
+
+def _validate(plan: BatchPlan, err, consumed, mcu_done) -> Dict[int, Exception]:
+    """Map lane-level failures to per-image exceptions (SURVEY.md §5
+    fault isolation: a corrupt image never kills the batch)."""
+    err = np.asarray(err)
+    consumed = np.asarray(consumed)
+    mcu_done = np.asarray(mcu_done)
+    failures: Dict[int, Exception] = {}
+
+    def flag(mask: np.ndarray, make):
+        for lane in np.nonzero(mask)[0]:
+            img = int(plan.lane_image[lane])
+            if img not in failures:
+                failures[img] = make(int(lane), img)
+
+    flag(
+        err == _ERR_BADCODE,
+        lambda l, i: JpegHuffmanError(
+            f"invalid Huffman code in segment {l} (image {i})"
+        ),
+    )
+    flag(
+        err == _ERR_RUN,
+        lambda l, i: JpegHuffmanError(
+            f"AC run past end of block in segment {l} (image {i})"
+        ),
+    )
+    # Overrun: consumed more bits than the segment holds (a trailing
+    # partial byte of padding is legal, T.81 §F.1.2.3).
+    flag(
+        consumed > plan.seg_bit_len + 7,
+        lambda l, i: JpegTruncatedError(
+            f"entropy segment {l} truncated (image {i})"
+        ),
+    )
+    flag(
+        mcu_done < plan.lane_mcus,
+        lambda l, i: JpegTruncatedError(
+            f"wavefront decode did not converge in segment {l} (image {i})"
+        ),
+    )
+    return failures
+
+
+def decode_batch_to_device(
+    jpegs: Sequence[bitstream.JpegData],
+    config: DecodeConfig = DEFAULT_CONFIG,
+    strict: bool = True,
+) -> Tuple[List[Optional[List[jnp.ndarray]]], Dict[int, Exception]]:
+    """Decode all scans of all images in ONE wavefront launch. Returns
+    (per-image per-component [padded_blocks, 64] int32 device arrays —
+    left on device to feed the transform kernels directly — with failed
+    images as None, and the image->exception map). strict=True raises
+    the first failure instead."""
+    plan = build_batch_plan(jpegs)
+    coeff, err, consumed, mcu_done = _run_plan(plan)
+    failures = _validate(plan, err, consumed, mcu_done)
+    if strict and failures:
+        raise failures[min(failures)]
+
+    out: List[Optional[List[jnp.ndarray]]] = []
+    for i, (offs, blocks) in enumerate(
+        zip(plan.comp_block_offsets, plan.comp_blocks)
+    ):
+        if i in failures:
+            out.append(None)
+            continue
+        comps = []
+        for off, nb in zip(offs, blocks):
+            comps.append(coeff[off * 64 : (off + nb) * 64].reshape(nb, 64))
+        out.append(comps)
+    return out, failures
 
 
 def decode_all_scans(
     jpeg: bitstream.JpegData, config: DecodeConfig = DEFAULT_CONFIG
 ) -> List[np.ndarray]:
-    frame = jpeg.frame
-    if frame.progressive:
-        raise JpegUnsupportedError(
-            "wavefront engine decodes baseline scans only (progressive "
-            "uses the native host decoder, SURVEY.md §7.2 #5)"
-        )
-
-    comp_blocks = [c.padded_hb * c.padded_wb for c in frame.components]
-    total_coeffs = sum(comp_blocks) * 64
-    flat = np.zeros(total_coeffs, dtype=np.int32)
-
-    for scan in jpeg.scans:
-        plan = build_scan_plan(jpeg, scan)
-        coeff, err, consumed, mcu_done = _wavefront_decode(
-            jnp.asarray(plan.words),
-            jnp.asarray(plan.lut),
-            jnp.asarray(plan.out_block),
-            jnp.asarray(plan.seg_bit_start),
-            jnp.asarray(plan.seg_bit_len),
-            jnp.asarray(plan.first_mcu),
-            jnp.asarray(plan.lane_mcus),
-            jnp.asarray(plan.sp_of_blk),
-            jnp.asarray(plan.dc_tid),
-            jnp.asarray(plan.ac_tid),
-            n_lanes=plan.n_lanes,
-            blocks_per_mcu=plan.blocks_per_mcu,
-            max_steps=plan.max_steps,
-            total_coeffs=total_coeffs,
-        )
-        err = np.asarray(err)
-        consumed = np.asarray(consumed)
-        mcu_done = np.asarray(mcu_done)
-        if (err == _ERR_BADCODE).any():
-            raise JpegHuffmanError(
-                f"invalid Huffman code in segment {int(np.argmax(err == _ERR_BADCODE))}"
-            )
-        if (err == _ERR_RUN).any():
-            raise JpegHuffmanError(
-                f"AC run past end of block in segment {int(np.argmax(err == _ERR_RUN))}"
-            )
-        if (mcu_done < plan.lane_mcus).any():
-            raise JpegTruncatedError("wavefront decode did not converge")
-        # Overrun: consumed more bits than the segment holds (a trailing
-        # partial byte of padding is legal, T.81 §F.1.2.3).
-        over = consumed > plan.seg_bit_len + 7
-        if over.any():
-            raise JpegTruncatedError(
-                f"entropy segment {int(np.argmax(over))} truncated"
-            )
-        flat |= np.asarray(coeff)  # scans touch disjoint components
-
-    out: List[np.ndarray] = []
-    off = 0
-    for nb in comp_blocks:
-        out.append(flat[off * 64 : (off + nb) * 64].reshape(nb, 64).copy())
-        off += nb
-    return out
+    """Single-image entry matching the other entropy engines' contract
+    (numpy coefficient arrays)."""
+    comps, _ = decode_batch_to_device([jpeg], config, strict=True)
+    return [np.asarray(c) for c in comps[0]]

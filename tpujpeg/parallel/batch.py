@@ -43,6 +43,88 @@ def _bucket_key(frame: bitstream.Frame) -> Tuple:
     )
 
 
+def decode_batch_on_device(
+    datas: Sequence[bytes],
+    config: DecodeConfig = DEFAULT_CONFIG,
+) -> "BatchResult":
+    """Full on-chip decode (SURVEY.md §3.5 + north star BASELINE.json:5):
+    bitstreams ship to HBM once, the wavefront kernel entropy-decodes
+    every image's restart segments in ONE launch, and the Pallas
+    transform kernels produce RGB per geometry bucket — coefficients
+    never touch the host. `images` holds device arrays (jax.Array),
+    converted only if config.to_numpy."""
+    from ..kernels import pipeline as kernel_pipeline
+    from ..kernels import wavefront
+
+    n = len(datas)
+    images: List[Optional[np.ndarray]] = [None] * n
+    errors: Dict[int, Exception] = {}
+    stats: List[Optional[DecodeStats]] = [None] * n
+
+    # Host stage: parse only (metadata-sized), fault-isolated.
+    jpegs: List[Optional[bitstream.JpegData]] = [None] * n
+    valid: List[int] = []
+    for i, data in enumerate(datas):
+        try:
+            j = bitstream.parse(data)
+            if j.frame.progressive:
+                raise JpegError(
+                    "on-device batch decodes baseline only; use "
+                    "decode_batch for progressive"
+                )
+            jpegs[i] = j
+            valid.append(i)
+        except Exception as e:
+            errors[i] = e if isinstance(e, JpegError) else JpegError(repr(e))
+    if not valid:
+        return BatchResult(images=images, errors=errors, stats=stats)
+
+    # Device entropy stage: one wavefront launch over all images.
+    coeffs_dev, failures = wavefront.decode_batch_to_device(
+        [jpegs[i] for i in valid], config, strict=False
+    )
+    for local_i, exc in failures.items():
+        errors[valid[local_i]] = exc
+
+    # Device transform stage: one launch per (geometry, quantizer) bucket.
+    buckets: Dict[Tuple, List[Tuple[int, int]]] = {}
+    for local_i, i in enumerate(valid):
+        if local_i in failures:
+            continue
+        j = jpegs[i]
+        qkey = tuple(
+            j.qtables[c.tq].astype(np.int32).tobytes()
+            for c in j.frame.components
+        )
+        buckets.setdefault((_bucket_key(j.frame), qkey), []).append(
+            (local_i, i)
+        )
+
+    for (key, _qk), members in buckets.items():
+        frame = jpegs[members[0][1]].frame
+        ncomp = frame.n_components
+        coeff_stack = [
+            jnp.stack([coeffs_dev[li][ci] for li, _ in members])
+            for ci in range(ncomp)
+        ]
+        qtabs = [
+            jnp.asarray(jpegs[members[0][1]].qtables[c.tq])
+            for c in frame.components
+        ]
+        out = kernel_pipeline.transform_batch(frame, coeff_stack, qtabs, config)
+        for slot, (_, i) in enumerate(members):
+            img = out[slot]
+            images[i] = np.asarray(img) if config.to_numpy else img
+            st = DecodeStats()
+            st.width, st.height = frame.width, frame.height
+            st.n_components = ncomp
+            st.entropy_engine = "wavefront"
+            st.transform_engine = "pallas"
+            stats[i] = st
+
+    return BatchResult(images=images, errors=errors, stats=stats)
+
+
 @functools.lru_cache(maxsize=64)
 def _jit_batched_transform(key: Tuple, n_devices: int, axis: str):
     """One jitted, device-sharded, vmapped transform per geometry bucket."""
@@ -106,12 +188,51 @@ def decode_batch(
         stats[i] = st
         buckets.setdefault(_bucket_key(jpeg.frame), []).append((i, coeffs, qtabs))
 
-    # Device stage: one sharded launch per bucket.
+    # Device stage: one launch per bucket.
+    use_pallas = config.transform_engine == "pallas"
     for key, entries in buckets.items():
-        fn, _ = _jit_batched_transform(key, n_devices, config.mesh_axis)
         b = len(entries)
-        pad = (-b) % max(n_devices, 1)
         ncomp = len(entries[0][1])
+        if use_pallas:
+            # Fused-kernel path (single dispatch per bucket). All images
+            # in a bucket share DQTs in practice; the kernel pipeline
+            # takes one qtab per component, so split the bucket further
+            # by quantizer identity.
+            from .. import bitstream as _bs
+            from ..kernels import pipeline as kernel_pipeline
+
+            height, width, hv = key
+            frame = _bs.Frame(
+                progressive=False, precision=8, height=height, width=width,
+                components=[
+                    _bs.Component(index=i, cid=i, h=h, v=v, tq=0)
+                    for i, (h, v) in enumerate(hv)
+                ],
+            )
+            frame.finalize()
+            by_q: Dict[Tuple, List] = {}
+            for e in entries:
+                qkey = tuple(bytes(q.astype(np.int32).tobytes()) for q in e[2])
+                by_q.setdefault(qkey, []).append(e)
+            for sub in by_q.values():
+                coeff_stack = [
+                    jnp.asarray(np.stack([e[1][ci] for e in sub]))
+                    for ci in range(ncomp)
+                ]
+                qtabs = [jnp.asarray(sub[0][2][ci]) for ci in range(ncomp)]
+                out = np.asarray(
+                    jax.block_until_ready(
+                        kernel_pipeline.transform_batch(
+                            frame, coeff_stack, qtabs, config
+                        )
+                    )
+                )
+                for slot, (i, _, _) in enumerate(sub):
+                    images[i] = out[slot]
+            continue
+
+        fn, _ = _jit_batched_transform(key, n_devices, config.mesh_axis)
+        pad = (-b) % max(n_devices, 1)
         coeff_stack = []
         qtab_stack = []
         for ci in range(ncomp):

@@ -143,7 +143,7 @@ def _build_sharded_transform(key: Tuple, n_shards: int, axis: str, fancy: bool):
         mesh=mesh,
         in_specs=in_spec,
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn), frame, mesh
 

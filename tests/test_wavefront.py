@@ -116,3 +116,16 @@ def test_decode_batch_on_device_corrupt_stream_isolated():
     res = batch_lib.decode_batch_on_device([good, bad])
     assert 0 not in res.errors
     np.testing.assert_array_equal(res.images[0], pil_decode(good))
+
+
+def test_wavefront_dense_stream_overflow_retry():
+    """A q100 noise image runs far over the heuristic symbol bound and
+    must take the hard-bound retry path, still bit-exact."""
+    data = make_jpeg(48, 48, seed=9, subsampling=0, quality=100, kind="noise")
+    jpeg = bitstream.parse(data)
+    plan = wavefront.build_batch_plan([jpeg])
+    assert plan.hard_max_steps > plan.max_steps
+    ref = huffman.decode_all_scans(jpeg)
+    got = wavefront.decode_all_scans(jpeg)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)

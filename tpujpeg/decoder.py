@@ -120,7 +120,9 @@ def decode(
 
     engine = config.transform_engine
     if engine == "auto":
-        engine = "jnp"
+        # Fused Pallas kernels on TPU; the jnp reference elsewhere
+        # (interpret-mode Pallas on CPU is an oracle, not a fast path).
+        engine = "pallas" if jax.default_backend() == "tpu" else "jnp"
     stats.transform_engine = engine
     if engine == "pallas":
         from .kernels import pipeline as kernel_pipeline

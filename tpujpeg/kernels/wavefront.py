@@ -52,6 +52,7 @@ from ..errors import (
 _ERR_NONE = 0
 _ERR_BADCODE = 1
 _ERR_RUN = 2
+_ERR_OVERFLOW = 3  # emission buffer exhausted; caller retries larger
 
 # Symbols decoded per lane per while-loop iteration: amortizes the
 # fixed per-iteration overhead of the compiled loop body.
@@ -84,7 +85,8 @@ class BatchPlan:
     bpm: np.ndarray            # int32: blocks per MCU of the lane's scan
     lane_image: np.ndarray     # int32: image index (error reporting)
     n_lanes: int
-    max_steps: int
+    max_steps: int             # heuristic step bound (typical streams)
+    hard_max_steps: int        # worst-case bound (retry on overflow)
     total_coeffs: int
     # Per image: coefficient base offset (in blocks) of each component.
     comp_block_offsets: List[List[int]]
@@ -137,6 +139,7 @@ def build_batch_plan(jpegs: Sequence[bitstream.JpegData]) -> BatchPlan:
     comp_block_offsets: List[List[int]] = []
     comp_blocks: List[List[int]] = []
     max_steps = 0
+    hard_max_steps = 0
 
     for img_i, jpeg in enumerate(jpegs):
         frame = jpeg.frame
@@ -239,7 +242,14 @@ def build_batch_plan(jpegs: Sequence[bitstream.JpegData]) -> BatchPlan:
             for j in range(8):
                 lane_cols[j].append(cols[j])
 
-            max_steps = max(max_steps, int(lm.max()) * B * 65 if L else 0)
+            # Step bounds. Hard: every block can emit 64 coefficients +
+            # one EOB (65 symbols). Heuristic: typical photographic
+            # streams run well under 20 symbols/block; overflow is
+            # detected and retried at the hard bound.
+            worst = int(lm.max()) * B * 65 if L else 0
+            typ = int(lm.max()) * B * 20 if L else 0
+            hard_max_steps = max(hard_max_steps, worst)
+            max_steps = max(max_steps, min(worst, typ))
 
             # Bitstream chunk, padded to word alignment (bit_base stays
             # word-aligned so per-chunk seg starts add cleanly).
@@ -282,6 +292,7 @@ def build_batch_plan(jpegs: Sequence[bitstream.JpegData]) -> BatchPlan:
         lane_image=np.concatenate(lane_cols[7]),
         n_lanes=sum(len(c) for c in lane_cols[0]),
         max_steps=max_steps,
+        hard_max_steps=hard_max_steps,
         total_coeffs=coeff_base * 64,
         comp_block_offsets=comp_block_offsets,
         comp_blocks=comp_blocks,
@@ -476,6 +487,13 @@ def _wavefront_decode(
         return dict(s, out_pos=out_pos, out_val=out_val, step=s["step"] + 1)
 
     final = jax.lax.while_loop(cond, body, state)
+    # Lanes still active at the iteration cap exhausted the emission
+    # buffer (heuristic bound): flag for the caller's hard-bound retry.
+    err = jnp.where(
+        active_mask(final) & (final["step"] >= n_iters),
+        _ERR_OVERFLOW,
+        final["err"],
+    )
     # Emission positions are monotonic per lane and each coefficient is
     # written at most once, so a global sort yields unique ascending
     # indices (empty slots = total_coeffs sort to the tail) and the
@@ -489,7 +507,7 @@ def _wavefront_decode(
         val_s, mode="drop", unique_indices=True, indices_are_sorted=True
     )
     consumed = final["bit"] - seg_bit_start
-    return coeff, final["err"], consumed, final["mcu_done"]
+    return coeff, err, consumed, final["mcu_done"]
 
 
 # ---------------------------------------------------------------------------
@@ -497,7 +515,7 @@ def _wavefront_decode(
 # ---------------------------------------------------------------------------
 
 
-def _run_plan(plan: BatchPlan):
+def _run_plan(plan: BatchPlan, max_steps: Optional[int] = None):
     return _wavefront_decode(
         jnp.asarray(plan.words),
         jnp.asarray(plan.lut),
@@ -513,7 +531,7 @@ def _run_plan(plan: BatchPlan):
         jnp.asarray(plan.tbase),
         jnp.asarray(plan.bpm),
         n_lanes=plan.n_lanes,
-        max_steps=plan.max_steps,
+        max_steps=max_steps if max_steps is not None else plan.max_steps,
         total_coeffs=plan.total_coeffs,
     )
 
@@ -553,6 +571,12 @@ def _validate(plan: BatchPlan, err, consumed, mcu_done) -> Dict[int, Exception]:
         ),
     )
     flag(
+        err == _ERR_OVERFLOW,
+        lambda l, i: JpegTruncatedError(
+            f"segment {l} exceeded the symbol bound (image {i})"
+        ),
+    )
+    flag(
         mcu_done < plan.lane_mcus,
         lambda l, i: JpegTruncatedError(
             f"wavefront decode did not converge in segment {l} (image {i})"
@@ -573,6 +597,14 @@ def decode_batch_to_device(
     the first failure instead."""
     plan = build_batch_plan(jpegs)
     coeff, err, consumed, mcu_done = _run_plan(plan)
+    if (
+        plan.hard_max_steps > plan.max_steps
+        and (np.asarray(err) == _ERR_OVERFLOW).any()
+    ):
+        # Unusually dense stream: rerun at the worst-case symbol bound.
+        coeff, err, consumed, mcu_done = _run_plan(
+            plan, max_steps=plan.hard_max_steps
+        )
     failures = _validate(plan, err, consumed, mcu_done)
     if strict and failures:
         raise failures[min(failures)]

@@ -39,12 +39,16 @@ def main() -> int:
     quality = int(os.environ.get("BENCH_QUALITY", "85"))
     nimg = int(os.environ.get("BENCH_BATCH", "8"))
     repeats = int(os.environ.get("BENCH_REPEATS", "4"))
+    rst = int(os.environ.get("BENCH_RESTART_BLOCKS", "4"))
 
-    # Restart markers every MCU row: the segment-parallel substrate
-    # (SURVEY.md §3.4); libjpeg decodes the same files for the anchor.
+    # Restart markers every few MCUs: the segment-parallel substrate
+    # (BASELINE.json:8 "restart-interval segmented decode"; SURVEY.md
+    # §3.4). Fine segments keep wavefront lanes uniform — total work is
+    # max_lane_steps x lanes, so balance is throughput. libjpeg decodes
+    # the same files for the anchor (markers cost ~1% size).
     datas = [
         make_jpeg(size, size, seed=7 + i, quality=quality, subsampling=2,
-                  restart_rows=1)
+                  restart_blocks=rst)
         for i in range(nimg)
     ]
     mp_per_img = size * size / 1e6
@@ -119,15 +123,19 @@ def main() -> int:
         rgb = kernel_pipeline.transform_batch(frame, stacks, qtabs, cfg)
         return rgb, err
 
+    # Sync discipline: block_until_ready does not reliably await on the
+    # axon backend (CLAUDE.md) — force a small readback that depends on
+    # the full computation as the sync point.
+    csum = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
     rgb, err = chip_decode()
-    jax.block_until_ready(rgb)  # compile + warm
+    _ = int(csum(rgb))  # compile + warm, true sync
     assert not np.asarray(err).any()
 
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         rgb, err = chip_decode()
-        jax.block_until_ready(rgb)
+        _ = int(csum(rgb))
         times.append(time.perf_counter() - t0)
     chip_mp_s = total_mp / min(times)
 

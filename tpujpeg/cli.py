@@ -73,7 +73,38 @@ def main(argv=None) -> int:
     pb.add_argument("--transform", default="auto", choices=["auto", "jnp", "pallas"])
     pb.add_argument("--no-fancy", action="store_true")
 
+    pba = sub.add_parser(
+        "batch",
+        help="decode many JPEGs to .npy with manifest-based resume "
+             "(SURVEY.md §5 checkpoint/resume)",
+    )
+    pba.add_argument("inputs", nargs="+")
+    pba.add_argument("--out", required=True, metavar="DIR")
+    pba.add_argument("--manifest", default=None)
+    pba.add_argument("--chunk", type=int, default=64)
+    pba.add_argument("--on-device", action="store_true",
+                     help="full on-chip wavefront+Pallas path")
+    pba.add_argument("--entropy", default="auto",
+                     choices=["auto", "python", "native", "wavefront"])
+    pba.add_argument("--transform", default="auto",
+                     choices=["auto", "jnp", "pallas"])
+    pba.add_argument("--no-fancy", action="store_true")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "batch":
+        from .parallel import manifest as manifest_lib
+
+        counters = manifest_lib.run_batch_job(
+            args.inputs,
+            args.out,
+            manifest_path=args.manifest,
+            config=_cfg_from_args(args),
+            chunk_size=args.chunk,
+            on_device=args.on_device,
+        )
+        print(json.dumps(counters))
+        return 0 if counters["failed"] == 0 else 2
 
     if args.cmd == "info":
         with open(args.input, "rb") as f:

@@ -56,7 +56,7 @@ _ERR_OVERFLOW = 3  # emission buffer exhausted; caller retries larger
 
 # Symbols decoded per lane per while-loop iteration: amortizes the
 # fixed per-iteration overhead of the compiled loop body.
-UNROLL = 4
+UNROLL = 8
 
 
 # ---------------------------------------------------------------------------
@@ -305,7 +305,10 @@ def build_batch_plan(jpegs: Sequence[bitstream.JpegData]) -> BatchPlan:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_lanes", "max_steps", "total_coeffs")
+    jax.jit,
+    static_argnames=(
+        "n_lanes", "max_steps", "total_coeffs", "emit_buffers", "do_sort"
+    ),
 )
 def _wavefront_decode(
     words: jnp.ndarray,
@@ -324,6 +327,8 @@ def _wavefront_decode(
     n_lanes: int,
     max_steps: int,
     total_coeffs: int,
+    emit_buffers: bool = True,
+    do_sort: bool = True,
 ):
     """Run the lockstep wavefront. Returns (coeff_flat, err, consumed,
     mcu_done) — validation happens on host."""
@@ -351,10 +356,13 @@ def _wavefront_decode(
         k=jnp.zeros(L, jnp.int32),                # next coeff (0 => DC)
         pred=tuple(jnp.zeros(L, jnp.int32) for _ in range(4)),
         err=jnp.zeros(L, jnp.int32),
-        out_pos=jnp.full((n_iters * UNROLL, L), total_coeffs, jnp.int32),
-        out_val=jnp.zeros((n_iters * UNROLL, L), jnp.int32),
         step=jnp.asarray(0, jnp.int32),
     )
+    if emit_buffers:
+        state["out_pos"] = jnp.full(
+            (n_iters * UNROLL, L), total_coeffs, jnp.int32
+        )
+        state["out_val"] = jnp.zeros((n_iters * UNROLL, L), jnp.int32)
 
     lut_flat = lut.reshape(-1).astype(jnp.int32)
 
@@ -477,14 +485,19 @@ def _wavefront_decode(
             s, pos, val = micro_step(s)
             chunk_pos.append(pos)
             chunk_val.append(val)
-        row = s["step"] * UNROLL
+        s = dict(s, step=s["step"] + 1)
+        if not emit_buffers:
+            # Ablation mode: loop cost without emission-buffer updates
+            # (keep a data dependence so nothing dead-codes away).
+            return dict(s, err=s["err"] | (chunk_pos[0] >> 31))
+        row = (s["step"] - 1) * UNROLL
         out_pos = jax.lax.dynamic_update_slice(
             s["out_pos"], jnp.stack(chunk_pos), (row, 0)
         )
         out_val = jax.lax.dynamic_update_slice(
             s["out_val"], jnp.stack(chunk_val), (row, 0)
         )
-        return dict(s, out_pos=out_pos, out_val=out_val, step=s["step"] + 1)
+        return dict(s, out_pos=out_pos, out_val=out_val)
 
     final = jax.lax.while_loop(cond, body, state)
     # Lanes still active at the iteration cap exhausted the emission
@@ -494,18 +507,22 @@ def _wavefront_decode(
         _ERR_OVERFLOW,
         final["err"],
     )
-    # Emission positions are monotonic per lane and each coefficient is
-    # written at most once, so a global sort yields unique ascending
-    # indices (empty slots = total_coeffs sort to the tail) and the
-    # scatter carries indices_are_sorted + unique_indices — the fast
-    # TPU lowering (the unsorted scatter serializes: ~130 ms for 4 MP).
-    pos_s, val_s = jax.lax.sort(
-        (final["out_pos"].reshape(-1), final["out_val"].reshape(-1)),
-        num_keys=1,
-    )
-    coeff = jnp.zeros(total_coeffs, jnp.int32).at[pos_s].set(
-        val_s, mode="drop", unique_indices=True, indices_are_sorted=True
-    )
+    if emit_buffers and do_sort:
+        # Emission positions are monotonic per lane and each coefficient
+        # is written at most once, so a global sort yields unique
+        # ascending indices (empty slots = total_coeffs sort to the
+        # tail) and the scatter carries indices_are_sorted +
+        # unique_indices — the fast TPU lowering (the unsorted scatter
+        # serializes: ~130 ms for 4 MP).
+        pos_s, val_s = jax.lax.sort(
+            (final["out_pos"].reshape(-1), final["out_val"].reshape(-1)),
+            num_keys=1,
+        )
+        coeff = jnp.zeros(total_coeffs, jnp.int32).at[pos_s].set(
+            val_s, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
+    else:
+        coeff = jnp.zeros(total_coeffs, jnp.int32) + final["bit"][0]
     consumed = final["bit"] - seg_bit_start
     return coeff, err, consumed, final["mcu_done"]
 

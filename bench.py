@@ -91,6 +91,7 @@ def main() -> int:
             plan.words, plan.lut, plan.out_block, plan.sp_tbl, plan.dc_row,
             plan.ac_row, plan.seg_bit_start, plan.seg_bit_len,
             plan.first_mcu, plan.lane_mcus, plan.obase, plan.tbase, plan.bpm,
+            plan.cbase,
         )
     ]
     jax.block_until_ready(dev)
@@ -101,13 +102,14 @@ def main() -> int:
     offs = plan.comp_block_offsets
     blocks = plan.comp_blocks
 
-    def chip_decode():
+    def chip_decode(max_steps):
         """Full on-chip decode of the staged batch: wavefront + transform."""
         coeff, err, consumed, mcu_done = wavefront._wavefront_decode(
             *dev,
             n_lanes=plan.n_lanes,
-            max_steps=plan.max_steps,
+            max_steps=max_steps,
             total_coeffs=plan.total_coeffs,
+            uniform=plan.uniform,
         )
         stacks = [
             jnp.stack(
@@ -127,14 +129,21 @@ def main() -> int:
     # axon backend (CLAUDE.md) — force a small readback that depends on
     # the full computation as the sync point.
     csum = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
-    rgb, err = chip_decode()
+    # Pick the emission bound like decode_batch_to_device would: the
+    # heuristic unless this corpus overflows it, then the hard bound.
+    max_steps = plan.max_steps
+    rgb, err = chip_decode(max_steps)
     _ = int(csum(rgb))  # compile + warm, true sync
+    if (np.asarray(err) == 3).any():  # _ERR_OVERFLOW
+        max_steps = plan.hard_max_steps
+        rgb, err = chip_decode(max_steps)
+        _ = int(csum(rgb))
     assert not np.asarray(err).any()
 
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        rgb, err = chip_decode()
+        rgb, err = chip_decode(max_steps)
         _ = int(csum(rgb))
         times.append(time.perf_counter() - t0)
     chip_mp_s = total_mp / min(times)

@@ -83,6 +83,7 @@ class BatchPlan:
     obase: np.ndarray          # int32: out_block base of the lane's scan
     tbase: np.ndarray          # int32: sp/dc/ac table base of the scan
     bpm: np.ndarray            # int32: blocks per MCU of the lane's scan
+    cbase: np.ndarray          # int32: image's global block base (uniform)
     lane_image: np.ndarray     # int32: image index (error reporting)
     n_lanes: int
     max_steps: int             # heuristic step bound (typical streams)
@@ -91,6 +92,10 @@ class BatchPlan:
     # Per image: coefficient base offset (in blocks) of each component.
     comp_block_offsets: List[List[int]]
     comp_blocks: List[List[int]]
+    # When every merged scan shares one structure (geometry, block
+    # order, table rows), a static tuple that lets the kernel compute
+    # tables/output positions arithmetically instead of gathering.
+    uniform: Optional[Tuple] = None
 
 
 def _pack_luts(huff: Dict[Tuple[int, int], bitstream.HuffSpec]) -> np.ndarray:
@@ -129,12 +134,15 @@ def build_batch_plan(jpegs: Sequence[bitstream.JpegData]) -> BatchPlan:
     sp_tbl: List[np.ndarray] = []
     dc_row: List[np.ndarray] = []
     ac_row: List[np.ndarray] = []
-    lane_cols: List[List[np.ndarray]] = [[] for _ in range(8)]
+    lane_cols: List[List[np.ndarray]] = [[] for _ in range(9)]
 
     bit_base = 0       # bits consumed by previous chunks
     ob_base = 0        # out_block entries so far
     tb_base = 0        # table entries so far
     lut_base = 0       # LUT rows so far
+    lut_cache: Dict[bytes, int] = {}  # content hash -> row base (dedup)
+    _UNSET = object()
+    uniform_sig: object = _UNSET
     coeff_base = 0     # coefficient-tensor blocks so far
     comp_block_offsets: List[List[int]] = []
     comp_blocks: List[List[int]] = []
@@ -185,6 +193,17 @@ def build_batch_plan(jpegs: Sequence[bitstream.JpegData]) -> BatchPlan:
                         f"missing AC Huffman table {scan.ac_ids[sp]}"
                     )
 
+            # Huffman LUT dedup: batches encoded with one tool share
+            # tables, so identical packed LUTs reuse one row block.
+            packed = _pack_luts(scan.huff)
+            key = packed.tobytes()
+            this_lut_base = lut_cache.get(key)
+            if this_lut_base is None:
+                this_lut_base = lut_base
+                lut_cache[key] = lut_base
+                luts.append(packed)
+                lut_base += 8
+
             # Per-block-position metadata (T.81 §A.2.3 order).
             blk_meta: List[Tuple[int, int, int]] = []  # (ci, dv, dh)
             sps: List[int] = []
@@ -196,15 +215,44 @@ def build_batch_plan(jpegs: Sequence[bitstream.JpegData]) -> BatchPlan:
                     for v in range(c.v):
                         for h in range(c.h):
                             sps.append(sp)
-                            dcs.append(lut_base + 0 * 4 + scan.dc_ids[sp])
-                            acs.append(lut_base + 1 * 4 + scan.ac_ids[sp])
+                            dcs.append(this_lut_base + 0 * 4 + scan.dc_ids[sp])
+                            acs.append(this_lut_base + 1 * 4 + scan.ac_ids[sp])
                             blk_meta.append((ci, v, h))
             else:
                 sps.append(0)
-                dcs.append(lut_base + 0 * 4 + scan.dc_ids[0])
-                acs.append(lut_base + 1 * 4 + scan.ac_ids[0])
+                dcs.append(this_lut_base + 0 * 4 + scan.dc_ids[0])
+                acs.append(this_lut_base + 1 * 4 + scan.ac_ids[0])
                 blk_meta.append((scan.comp_indices[0], 0, 0))
             B = len(blk_meta)
+
+            # Structure signature for the uniform fast path: everything
+            # the kernel would otherwise gather per symbol.
+            if interleaved:
+                geom = (
+                    frame.mcus_x,
+                    tuple(
+                        (
+                            ci, dv, dh,
+                            frame.components[ci].v,
+                            frame.components[ci].h,
+                            frame.components[ci].padded_wb,
+                            offs[ci] - offs[0],
+                        )
+                        for ci, dv, dh in blk_meta
+                    ),
+                )
+            else:
+                c0 = frame.components[scan.comp_indices[0]]
+                geom = (
+                    c0.width_blocks,
+                    ((scan.comp_indices[0], 0, 0, 1, 1, c0.padded_wb,
+                      offs[scan.comp_indices[0]] - offs[0]),),
+                )
+            sig = (interleaved, B, tuple(sps), tuple(dcs), tuple(acs), geom)
+            if uniform_sig is _UNSET:
+                uniform_sig = sig
+            elif uniform_sig != sig:
+                uniform_sig = None
 
             # Flat output block id per (mcu, block position).
             m = np.arange(total_mcus, dtype=np.int64)
@@ -238,16 +286,19 @@ def build_batch_plan(jpegs: Sequence[bitstream.JpegData]) -> BatchPlan:
                 np.full(L, tb_base, np.int32),
                 np.full(L, B, np.int32),
                 np.full(L, img_i, np.int32),
+                np.full(L, offs[0], np.int32),
             ]
-            for j in range(8):
+            for j in range(9):
                 lane_cols[j].append(cols[j])
 
             # Step bounds. Hard: every block can emit 64 coefficients +
-            # one EOB (65 symbols). Heuristic: typical photographic
-            # streams run well under 20 symbols/block; overflow is
-            # detected and retried at the hard bound.
+            # one EOB (65 symbols). Heuristic: photographic streams
+            # average ~10-20 symbols/block and worst segments ~30; 32
+            # covers them, and overflow is detected and retried at the
+            # hard bound. The emission buffer (and the final sort, which
+            # scales with the buffer) is sized by this bound.
             worst = int(lm.max()) * B * 65 if L else 0
-            typ = int(lm.max()) * B * 20 if L else 0
+            typ = int(lm.max()) * B * 32 if L else 0
             hard_max_steps = max(hard_max_steps, worst)
             max_steps = max(max_steps, min(worst, typ))
 
@@ -261,14 +312,12 @@ def build_batch_plan(jpegs: Sequence[bitstream.JpegData]) -> BatchPlan:
             word_chunks.append(padded.view(">u4").astype(np.uint32))
             bit_base += (nbytes + pad) * 8
 
-            luts.append(_pack_luts(scan.huff))
             out_blocks.append(ob.reshape(-1))
             sp_tbl.append(np.asarray(sps, np.int32))
             dc_row.append(np.asarray(dcs, np.int32))
             ac_row.append(np.asarray(acs, np.int32))
             ob_base += ob.size
             tb_base += B
-            lut_base += 8
 
         coeff_base = acc
 
@@ -290,12 +339,14 @@ def build_batch_plan(jpegs: Sequence[bitstream.JpegData]) -> BatchPlan:
         tbase=np.concatenate(lane_cols[5]),
         bpm=np.concatenate(lane_cols[6]),
         lane_image=np.concatenate(lane_cols[7]),
+        cbase=np.concatenate(lane_cols[8]),
         n_lanes=sum(len(c) for c in lane_cols[0]),
         max_steps=max_steps,
         hard_max_steps=hard_max_steps,
         total_coeffs=coeff_base * 64,
         comp_block_offsets=comp_block_offsets,
         comp_blocks=comp_blocks,
+        uniform=uniform_sig if uniform_sig is not _UNSET else None,
     )
 
 
@@ -307,7 +358,8 @@ def build_batch_plan(jpegs: Sequence[bitstream.JpegData]) -> BatchPlan:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_lanes", "max_steps", "total_coeffs", "emit_buffers", "do_sort"
+        "n_lanes", "max_steps", "total_coeffs", "emit_buffers", "do_sort",
+        "uniform",
     ),
 )
 def _wavefront_decode(
@@ -324,38 +376,35 @@ def _wavefront_decode(
     obase: jnp.ndarray,
     tbase: jnp.ndarray,
     bpm: jnp.ndarray,
+    cbase: jnp.ndarray,
     n_lanes: int,
     max_steps: int,
     total_coeffs: int,
     emit_buffers: bool = True,
     do_sort: bool = True,
+    uniform=None,
 ):
     """Run the lockstep wavefront. Returns (coeff_flat, err, consumed,
     mcu_done) — validation happens on host."""
     L = n_lanes
     n_iters = -(-max_steps // UNROLL)
 
-    def window32(bitpos):
-        """32-bit MSB-first window at absolute bit offset, per lane.
-        Pure uint32 arithmetic (x64 is disabled in JAX by default): the
-        sh==0 case is special-cased because a >>32 is not defined."""
-        w = bitpos >> 5
-        sh = (bitpos & 31).astype(jnp.uint32)
-        hi = jnp.take(words, w, mode="clip")
-        lo = jnp.take(words, w + 1, mode="clip")
-        lo_part = jnp.where(
-            sh == 0, jnp.uint32(0), lo >> (np.uint32(32) - sh)
-        )
-        return (hi << sh) | lo_part
-
+    bit0 = seg_bit_start.astype(jnp.int32)
+    wptr0 = bit0 >> 5
     state = dict(
-        bit=seg_bit_start.astype(jnp.int32),      # absolute bit cursor
+        bit=bit0,                                 # absolute bit cursor
         mcu=first_mcu.astype(jnp.int32),          # scan-local MCU index
         mcu_done=jnp.zeros(L, jnp.int32),         # MCUs finished in lane
         blk=jnp.zeros(L, jnp.int32),              # block position in MCU
         k=jnp.zeros(L, jnp.int32),                # next coeff (0 => DC)
         pred=tuple(jnp.zeros(L, jnp.int32) for _ in range(4)),
         err=jnp.zeros(L, jnp.int32),
+        # Cached 64-bit stream window (one refill gather per symbol
+        # instead of two word gathers; the cursor advances <=27 bits per
+        # symbol, so at most one word rolls over between symbols).
+        wptr=wptr0,
+        whi=jnp.take(words, wptr0, mode="clip"),
+        wlo=jnp.take(words, wptr0 + 1, mode="clip"),
         step=jnp.asarray(0, jnp.int32),
     )
     if emit_buffers:
@@ -372,6 +421,14 @@ def _wavefront_decode(
     def cond(s):
         return jnp.any(active_mask(s)) & (s["step"] < n_iters)
 
+    def static_sel(blk, values):
+        """Select per-block-position constants with a static where-chain
+        (no table gather); `values` is a python tuple of length B."""
+        out = jnp.full_like(blk, values[0])
+        for i in range(1, len(values)):
+            out = jnp.where(blk == i, values[i], out)
+        return out
+
     def micro_step(s):
         """Decode one symbol per active lane; returns (s', pos, val)."""
         act = active_mask(s)
@@ -380,15 +437,31 @@ def _wavefront_decode(
         k = s["k"]
         is_dc = k == 0
 
-        ti = tbase + blk
-        sp = jnp.take(sp_tbl, ti, mode="clip")
-        lut_row = jnp.where(
-            is_dc,
-            jnp.take(dc_row, ti, mode="clip"),
-            jnp.take(ac_row, ti, mode="clip"),
-        )
+        if uniform is not None:
+            _, B_u, sps_u, dcs_u, acs_u, _geom = uniform
+            sp = static_sel(blk, sps_u)
+            lut_row = jnp.where(
+                is_dc, static_sel(blk, dcs_u), static_sel(blk, acs_u)
+            )
+        else:
+            ti = tbase + blk
+            sp = jnp.take(sp_tbl, ti, mode="clip")
+            lut_row = jnp.where(
+                is_dc,
+                jnp.take(dc_row, ti, mode="clip"),
+                jnp.take(ac_row, ti, mode="clip"),
+            )
 
-        win = window32(bit)
+        # Cached-window roll: at most one new word per symbol.
+        w = bit >> 5
+        adv = w > s["wptr"]
+        whi = jnp.where(adv, s["wlo"], s["whi"])
+        wptr = jnp.where(adv, s["wptr"] + 1, s["wptr"])
+        wlo = jnp.where(adv, jnp.take(words, wptr + 1, mode="clip"), s["wlo"])
+        sh = (bit & 31).astype(jnp.uint32)
+        win = (whi << sh) | jnp.where(
+            sh == 0, jnp.uint32(0), wlo >> (np.uint32(32) - sh)
+        )
         idx16 = (win >> np.uint32(16)).astype(jnp.int32)
         entry = jnp.take(lut_flat, lut_row * 65536 + idx16, mode="clip")
         clen = entry >> 8
@@ -434,9 +507,27 @@ def _wavefront_decode(
         ac_overrun = act & (~is_dc) & (size > 0) & (ac_k > 63)
         ac_emit = act & (~is_dc) & (size > 0) & (ac_k <= 63)
 
-        blk_out = jnp.take(
-            out_block, obase + s["mcu"] * bpm + blk, mode="clip"
-        )
+        if uniform is not None:
+            # Closed-form output position: no out_block gather.
+            _, _, _, _, _, (mcux_u, blkm_u) = uniform
+            my = s["mcu"] // mcux_u
+            mx = s["mcu"] - my * mcux_u
+            row = my * static_sel(blk, tuple(b[3] for b in blkm_u)) + (
+                static_sel(blk, tuple(b[1] for b in blkm_u))
+            )
+            col = mx * static_sel(blk, tuple(b[4] for b in blkm_u)) + (
+                static_sel(blk, tuple(b[2] for b in blkm_u))
+            )
+            blk_out = (
+                cbase
+                + static_sel(blk, tuple(b[6] for b in blkm_u))
+                + row * static_sel(blk, tuple(b[5] for b in blkm_u))
+                + col
+            )
+        else:
+            blk_out = jnp.take(
+                out_block, obase + s["mcu"] * bpm + blk, mode="clip"
+            )
         emit = dc_emit | ac_emit
         emit_k = jnp.where(is_dc, 0, ac_k)
         emit_val = jnp.where(is_dc, new_pred_val, val)
@@ -475,6 +566,9 @@ def _wavefront_decode(
             k=jnp.where(act, k_next, s["k"]),
             pred=pred,
             err=err,
+            wptr=wptr,
+            whi=whi,
+            wlo=wlo,
         )
         return s2, pos, emit_val
 
@@ -547,9 +641,11 @@ def _run_plan(plan: BatchPlan, max_steps: Optional[int] = None):
         jnp.asarray(plan.obase),
         jnp.asarray(plan.tbase),
         jnp.asarray(plan.bpm),
+        jnp.asarray(plan.cbase),
         n_lanes=plan.n_lanes,
         max_steps=max_steps if max_steps is not None else plan.max_steps,
         total_coeffs=plan.total_coeffs,
+        uniform=plan.uniform,
     )
 
 

@@ -1,0 +1,86 @@
+"""Block-synchronous Pallas wavefront decoder (kernels/wavefront_pallas)
+vs the Python oracle — interpret mode on CPU (SURVEY.md §7.2 #1)."""
+
+import numpy as np
+import pytest
+
+from corpus import make_jpeg, pil_decode
+
+from tpujpeg import bitstream, huffman
+from tpujpeg.errors import JpegUnsupportedError
+from tpujpeg.kernels import wavefront_pallas as wp
+
+
+CASES = [
+    dict(w=64, h=48, subsampling=2),                      # single segment
+    dict(w=129, h=65, subsampling=2, restart_blocks=3),   # odd dims
+    dict(w=96, h=80, subsampling=0, restart_blocks=2),    # 4:4:4
+    dict(w=96, h=80, subsampling=1, restart_blocks=2),    # 4:2:2
+    dict(w=64, h=64, subsampling=2, mode="L", restart_blocks=5),
+    dict(w=80, h=56, subsampling=2, quality=98, restart_blocks=2),
+    dict(w=80, h=56, subsampling=2, quality=25, kind="noise"),
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=[str(i) for i in range(len(CASES))])
+def test_pallas_wavefront_matches_oracle(case):
+    kw = dict(case)
+    w, h = kw.pop("w"), kw.pop("h")
+    data = make_jpeg(w, h, seed=3, **kw)
+    jpeg = bitstream.parse(data)
+    ref = huffman.decode_all_scans(jpeg)
+    got = wp.decode_all_scans(jpeg)
+    for ci, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_array_equal(a, b, err_msg=f"component {ci}")
+
+
+def test_pallas_wavefront_uniform_batch():
+    datas = [
+        make_jpeg(120, 88, seed=s, subsampling=2, restart_blocks=4)
+        for s in range(3)
+    ]
+    jpegs = [bitstream.parse(d) for d in datas]
+    got, failures = wp.decode_batch_to_device(jpegs, strict=False)
+    assert not failures
+    for jpeg, comps in zip(jpegs, got):
+        ref = huffman.decode_all_scans(jpeg)
+        for a, b in zip(ref, comps):
+            np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_pallas_wavefront_fault_isolation():
+    good = make_jpeg(64, 48, seed=5, subsampling=2, restart_blocks=2)
+    jpegs = [bitstream.parse(good), bitstream.parse(good)]
+    jpegs[1].scans[0].data = bytes(len(jpegs[1].scans[0].data))
+    got, failures = wp.decode_batch_to_device(jpegs, strict=False)
+    assert set(failures) == {1}
+    ref = huffman.decode_all_scans(jpegs[0])
+    for a, b in zip(ref, got[0]):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_pallas_wavefront_rejects_out_of_scope():
+    prog = bitstream.parse(
+        make_jpeg(64, 64, seed=1, subsampling=2, progressive=True)
+    )
+    with pytest.raises(JpegUnsupportedError):
+        wp.build_block_plan([prog])
+    mixed = [
+        bitstream.parse(make_jpeg(64, 48, seed=1, subsampling=2)),
+        bitstream.parse(make_jpeg(48, 64, seed=1, subsampling=2)),
+    ]
+    with pytest.raises(JpegUnsupportedError):
+        wp.build_block_plan(mixed)
+
+
+def test_on_device_batch_uses_pallas_path_bit_exact():
+    import tpujpeg
+
+    datas = [
+        make_jpeg(120, 88, seed=s, subsampling=2, restart_blocks=4)
+        for s in range(3)
+    ]
+    res = tpujpeg.decode_batch_on_device(datas)
+    assert not res.errors
+    for d, img in zip(datas, res.images):
+        np.testing.assert_array_equal(img, pil_decode(d))

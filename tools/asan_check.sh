@@ -1,0 +1,23 @@
+#!/bin/bash
+# Sanitizer run for the native C++ entropy stage (SURVEY.md §5 "race
+# detection / sanitizers": the host C++ parser runs under ASan/UBSan).
+# Builds a sanitized copy of the library and runs the native test suite
+# against it on the CPU backend.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SAN_DIR=$(mktemp -d)
+trap 'rm -rf "$SAN_DIR"' EXIT
+
+g++ -O1 -g -fPIC -shared -std=c++17 -pthread \
+    -fsanitize=address,undefined -fno-sanitize-recover=all \
+    tpujpeg/native/entropy.cc -o "$SAN_DIR/entropy_asan.so"
+
+# LD_PRELOAD the ASan runtime so the sanitized .so can load into python.
+ASAN_RT=$(g++ -print-file-name=libasan.so)
+export LD_PRELOAD="$ASAN_RT"
+export ASAN_OPTIONS=detect_leaks=0  # python itself "leaks" at exit
+export TPUJPEG_NATIVE_SO="$SAN_DIR/entropy_asan.so"
+
+python -m pytest tests/test_native.py -q -x
+echo "ASan/UBSan: native entropy tests clean"

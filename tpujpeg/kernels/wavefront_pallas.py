@@ -1,0 +1,626 @@
+"""Block-synchronous wavefront Huffman decoder as a single Pallas TPU
+kernel (SURVEY.md §7.2 hard-part 1 — the "speed-of-light" entropy path;
+BASELINE.json:5 "wavefront Huffman entropy decoder ... into HBM").
+
+Why a second formulation: the XLA wavefront (wavefront.py) spends its
+time on per-symbol kernel launches (gathers break fusion) and on the
+final sorted scatter. This kernel keeps the whole decode in VMEM with
+ZERO gathers, scatters, or sorts:
+
+  * lanes (restart segments) advance in lockstep through ONE MCU per
+    grid step; the B block positions of the MCU are a static python
+    loop, so components, tables and geometry are compile-time constants;
+  * within a block, the DC symbol is a lockstep step for every lane and
+    the AC symbols run under a while_loop with per-lane done masks — at
+    any instant every active lane is doing the same kind of work;
+  * Huffman decode is canonical (T.81 F.2.2.3): code length from 16
+    static maxcode comparisons, symbol value from a static binary
+    select tree over huffval (equal-subtree pruning keeps it ~100 ops);
+  * the bitstream is pre-sliced into per-lane rows; the 64-bit window
+    is fetched by a one-hot masked reduction over the row's words;
+  * coefficients accumulate into a dense [64, lanes] block register via
+    a one-hot(k) update and are written ONCE per block to the dense
+    output — no emission buffers, no sort, no scatter. The output
+    [group, mcu, b, 64, lane] maps onto the coefficient tensor with
+    static reshape/transposes (kernels/wavefront_pallas.assemble).
+
+Scope: uniform batches (every scan shares geometry/tables — the batch
+bucket case). Non-uniform batches use the XLA wavefront or the native
+host decoder. Lanes per group and words per lane are bounded by VMEM;
+oversize segments fall back too.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import bitstream
+from ..config import DEFAULT_CONFIG, DecodeConfig
+from ..errors import (
+    JpegHuffmanError,
+    JpegSyntaxError,
+    JpegTruncatedError,
+    JpegUnsupportedError,
+)
+from . import wavefront as wf_xla
+
+LANE_GROUP = 2048          # lanes per kernel grid group
+SUBLANES = 8
+MAX_WORDS = 512            # per-lane bitstream words cap (VMEM)
+
+_ERR_BADCODE = 1
+_ERR_RUN = 2
+_ERR_TRUNC = 4
+
+
+# ---------------------------------------------------------------------------
+# Static Huffman table data (python constants baked into the kernel)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class CanonTable:
+    """Canonical decode constants for one Huffman table: maxcode /
+    valoffset per code length (T.81 F.2.2.3) + the symbol list."""
+
+    maxcode: Tuple[int, ...]    # [17], -1 where no codes
+    valoffset: Tuple[int, ...]  # [17]
+    huffval: Tuple[int, ...]    # [256] padded
+
+    @staticmethod
+    def from_spec(spec: bitstream.HuffSpec) -> "CanonTable":
+        maxcode = [-1] * 17
+        valoffset = [0] * 17
+        code = 0
+        k = 0
+        for l in range(1, 17):
+            n = int(spec.counts[l - 1])
+            if n:
+                valoffset[l] = k - code
+                code += n
+                k += n
+                maxcode[l] = code - 1
+            code <<= 1
+        hv = [int(v) for v in spec.values] + [0] * (256 - len(spec.values))
+        return CanonTable(tuple(maxcode), tuple(valoffset), tuple(hv))
+
+
+def _select_tree(idx: jnp.ndarray, values: Sequence[int]) -> jnp.ndarray:
+    """values[idx] with a static binary select tree (no gather). Equal
+    subtrees are pruned, which collapses the padded tail of sparse
+    tables. idx must be in [0, len(values))."""
+    vals: List = list(values)
+    bit = 1
+    while len(vals) > 1:
+        nv = []
+        for i in range(0, len(vals), 2):
+            a, b = vals[i], vals[i + 1]
+            if isinstance(a, int) and isinstance(b, int) and a == b:
+                nv.append(a)
+            else:
+                nv.append(jnp.where((idx & bit) != 0, b, a))
+        vals = nv
+        bit <<= 1
+    out = vals[0]
+    if isinstance(out, int):
+        return jnp.full_like(idx, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Plan
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class BlockPlan:
+    bits: np.ndarray        # uint32[G, W, 8, K] per-lane bitstream rows
+    seg_bits: np.ndarray    # int32[G, 8, K] true bit length per lane
+    lane_m: np.ndarray      # int32[G, 8, K] MCUs per lane
+    n_groups: int
+    n_mcus: int             # grid MCU rounds (max lane MCUs)
+    n_words: int            # W
+    blocks_per_mcu: int
+    # Static per-block-position: (comp_index, dc CanonTable, ac CanonTable)
+    blk_tables: Tuple[Tuple[int, CanonTable, CanonTable], ...]
+    # Geometry for assembly:
+    frame_key: Tuple
+    lane_meta: List[Tuple[int, int, int]]  # (img, first_mcu, n_mcus) per lane
+    n_lanes: int
+    images: int
+
+
+def build_block_plan(
+    jpegs: Sequence[bitstream.JpegData],
+) -> BlockPlan:
+    """Uniform-batch plan for the Pallas kernel. Raises
+    JpegUnsupportedError when the batch doesn't fit the kernel's scope
+    (caller falls back to the XLA wavefront / native decoder)."""
+    if not jpegs:
+        raise JpegUnsupportedError("empty batch")
+    f0 = jpegs[0].frame
+    key0 = (
+        f0.height, f0.width, tuple((c.h, c.v) for c in f0.components),
+    )
+
+    seg_rows: List[np.ndarray] = []
+    seg_bits: List[int] = []
+    lane_meta: List[Tuple[int, int, int]] = []
+    blk_tables: Optional[Tuple] = None
+    max_words = 0
+    max_mcus = 0
+    ri0: Optional[int] = None
+
+    for img_i, jpeg in enumerate(jpegs):
+        frame = jpeg.frame
+        if frame.progressive:
+            raise JpegUnsupportedError("pallas wavefront: baseline only")
+        key = (
+            frame.height, frame.width,
+            tuple((c.h, c.v) for c in frame.components),
+        )
+        if key != key0:
+            raise JpegUnsupportedError("pallas wavefront: mixed geometry")
+        if len(jpeg.scans) != 1:
+            raise JpegUnsupportedError("pallas wavefront: one scan only")
+        scan = jpeg.scans[0]
+        if not scan.interleaved and frame.n_components != 1:
+            raise JpegUnsupportedError(
+                "pallas wavefront: non-interleaved multi-component scan"
+            )
+
+        tables: List[Tuple[int, CanonTable, CanonTable]] = []
+        if scan.interleaved:
+            for sp, ci in enumerate(scan.comp_indices):
+                c = frame.components[ci]
+                dk, ak = (0, scan.dc_ids[sp]), (1, scan.ac_ids[sp])
+                if dk not in scan.huff or ak not in scan.huff:
+                    raise JpegSyntaxError("missing Huffman table")
+                dct = CanonTable.from_spec(scan.huff[dk])
+                act = CanonTable.from_spec(scan.huff[ak])
+                for _v in range(c.v):
+                    for _h in range(c.h):
+                        tables.append((ci, dct, act))
+        else:
+            dk, ak = (0, scan.dc_ids[0]), (1, scan.ac_ids[0])
+            if dk not in scan.huff or ak not in scan.huff:
+                raise JpegSyntaxError("missing Huffman table")
+            tables.append(
+                (
+                    scan.comp_indices[0],
+                    CanonTable.from_spec(scan.huff[dk]),
+                    CanonTable.from_spec(scan.huff[ak]),
+                )
+            )
+        tables_t = tuple(tables)
+        if blk_tables is None:
+            blk_tables = tables_t
+        elif blk_tables != tables_t:
+            raise JpegUnsupportedError("pallas wavefront: mixed tables")
+
+        buf, starts = wf_xla._destuff(scan)
+        if scan.interleaved:
+            total_mcus = frame.mcus_x * frame.mcus_y
+        else:
+            c0 = frame.components[scan.comp_indices[0]]
+            total_mcus = c0.width_blocks * c0.height_blocks
+        ri = scan.restart_interval or total_mcus
+        if ri0 is None:
+            ri0 = ri
+        elif ri != ri0:
+            # assemble() relies on every lane covering exactly `ri` MCUs
+            # (last lane short), so mixed intervals fall back.
+            raise JpegUnsupportedError("pallas wavefront: mixed restart intervals")
+        n_seg = -(-total_mcus // ri)
+        if len(starts) - 1 < n_seg:
+            raise JpegTruncatedError("missing restart segments")
+        for s in range(n_seg):
+            lo, hi = int(starts[s]), int(starts[s + 1])
+            seg_rows.append(buf[lo:hi])
+            seg_bits.append((hi - lo) * 8)
+            fm = s * ri
+            nm = min(ri, total_mcus - fm)
+            lane_meta.append((img_i, fm, nm))
+            max_words = max(max_words, -(-(hi - lo) // 4) + 1)
+            max_mcus = max(max_mcus, nm)
+
+    if max_words > MAX_WORDS:
+        raise JpegUnsupportedError(
+            f"pallas wavefront: segment too long ({max_words} words)"
+        )
+
+    L = len(seg_rows)
+    G = -(-L // LANE_GROUP)
+    K = LANE_GROUP // SUBLANES
+    W = max_words
+
+    rows = np.full((G * LANE_GROUP, W * 4), 0xFF, dtype=np.uint8)
+    for i, r in enumerate(seg_rows):
+        rows[i, : len(r)] = r
+    bits = (
+        rows.view(">u4")
+        .astype(np.uint32)
+        .astype(np.int64)
+        .astype(np.int64)  # keep full 32-bit pattern before the cast
+        .astype(np.uint32)
+        .view(np.int32)    # int32 storage: Mosaic can't reduce uints
+        .reshape(G, SUBLANES, K, W)
+        .transpose(0, 3, 1, 2)
+        .copy()
+    )
+    sb = np.zeros(G * LANE_GROUP, np.int32)
+    sb[:L] = seg_bits
+    lm = np.zeros(G * LANE_GROUP, np.int32)
+    lm[:L] = [m[2] for m in lane_meta]
+
+    return BlockPlan(
+        bits=bits,
+        seg_bits=sb.reshape(G, SUBLANES, K),
+        lane_m=lm.reshape(G, SUBLANES, K),
+        n_groups=G,
+        n_mcus=max_mcus,
+        n_words=W,
+        blocks_per_mcu=len(blk_tables),
+        blk_tables=blk_tables,
+        frame_key=key0,
+        lane_meta=lane_meta,
+        n_lanes=L,
+        images=len(jpegs),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel(plan_static):
+    """Build the kernel function for one (B, tables, W, n_mcus) config."""
+    B, blk_tables, W, n_mcus = plan_static
+    K = LANE_GROUP // SUBLANES
+
+    def window64(bits, cur):
+        """64-bit window at bit offset `cur` ([8,K] int32) from the
+        lane's word row (int32 storage): one-hot masked reductions, no
+        gather. Mosaic can't reduce unsigned ints, so the select runs in
+        int32 and the result is bitcast to uint32 for logical shifts."""
+        w = cur >> 5
+        iota = jax.lax.broadcasted_iota(jnp.int32, (W, SUBLANES, K), 0)
+        m_hi = (iota == w[None]).astype(jnp.int32)
+        m_lo = (iota == (w + 1)[None]).astype(jnp.int32)
+        hi = jax.lax.bitcast_convert_type(
+            jnp.sum(m_hi * bits, axis=0), jnp.uint32
+        )
+        lo = jax.lax.bitcast_convert_type(
+            jnp.sum(m_lo * bits, axis=0), jnp.uint32
+        )
+        sh = (cur & 31).astype(jnp.uint32)
+        win = (hi << sh) | jnp.where(
+            sh == 0, jnp.uint32(0), lo >> (np.uint32(32) - sh)
+        )
+        return win
+
+    def decode_symbol(bits, cur, tbl: CanonTable):
+        """One canonical Huffman symbol for every lane. Returns
+        (sym, code_len) — code_len 17 marks an invalid code."""
+        win = window64(bits, cur)
+        length = jnp.full((SUBLANES, K), 17, jnp.int32)
+        # Walk lengths high to low so the SHORTEST valid length wins.
+        for l in range(16, 0, -1):
+            if tbl.maxcode[l] < 0:
+                continue
+            peek = (win >> np.uint32(32 - l)).astype(jnp.int32)
+            length = jnp.where(peek <= tbl.maxcode[l], l, length)
+        # code bits at the selected length + valoffset[length].
+        code = jnp.zeros((SUBLANES, K), jnp.int32)
+        voff = jnp.zeros((SUBLANES, K), jnp.int32)
+        for l in range(1, 17):
+            if tbl.maxcode[l] < 0:
+                continue
+            peek = (win >> np.uint32(32 - l)).astype(jnp.int32)
+            sel = length == l
+            code = jnp.where(sel, peek, code)
+            voff = jnp.where(sel, tbl.valoffset[l], voff)
+        idx = jnp.clip(code + voff, 0, 255)
+        sym = _select_tree(idx, tbl.huffval)
+        return sym, length, win
+
+    def receive_extend(win, length, size):
+        """Magnitude bits follow the code inside the same window."""
+        after = (win << length.astype(jnp.uint32)).astype(jnp.uint32)
+        mag = jnp.where(
+            size > 0,
+            (after >> (np.uint32(32) - size.astype(jnp.uint32))).astype(
+                jnp.int32
+            ),
+            0,
+        )
+        return jnp.where(
+            (size > 0) & (mag < (1 << jnp.maximum(size - 1, 0))),
+            mag - (1 << size) + 1,
+            mag,
+        )
+
+    def kernel(lane_m_ref, bits_ref, out_ref, err_ref, cur_ref, end_ref,
+               pred_ref, err_acc_ref):
+        m = pl.program_id(1)
+        bits = bits_ref[0]          # [W, 8, K]
+        lane_m = lane_m_ref[0]      # [8, K]
+
+        @pl.when(m == 0)
+        def _init():
+            cur_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+            pred_ref[:] = jnp.zeros((4, SUBLANES, K), jnp.int32)
+            err_acc_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+
+        active = m < lane_m          # [8, K] lanes that have this MCU
+        kiota = jax.lax.broadcasted_iota(
+            jnp.int32, (64, SUBLANES, K), 0
+        )
+
+        for b in range(B):
+            ci, dct, act = blk_tables[b]
+            cur = cur_ref[:]
+            err = err_acc_ref[:]
+            ok = active & (err == 0)
+
+            # --- DC: one lockstep symbol for every lane. ---
+            t, dlen, win = decode_symbol(bits, cur, dct)
+            bad = ok & ((dlen > 16) | (t > 15))
+            t = jnp.where(t > 15, 0, t)
+            diff = receive_extend(win, dlen, t)
+            pred = pred_ref[ci] + jnp.where(ok, diff, 0)
+            pred_ref[ci] = pred
+            cur = cur + jnp.where(ok, dlen + t, 0)
+            err = jnp.where(bad, _ERR_BADCODE, err)
+
+            acc = jnp.where(
+                (kiota == 0) & ok[None], pred[None], 0
+            ).astype(jnp.int32)
+
+            # --- AC: while any lane's block is unfinished. ---
+            def cond(st):
+                _cur, _k, _err, _acc, step = st
+                busy = ok & (_k < 64) & (_err == 0)
+                return jnp.any(busy) & (step < 64)
+
+            def body(st):
+                _cur, _k, _err, _acc, step = st
+                busy = ok & (_k < 64) & (_err == 0)
+                rs, alen, awin = decode_symbol(bits, _cur, act)
+                badc = busy & (alen > 16)
+                run = rs >> 4
+                size = rs & 0x0F
+                val = receive_extend(awin, alen, size)
+                is_eob = (size == 0) & (run != 15)
+                is_zrl = (size == 0) & (run == 15)
+                nk = _k + jnp.where(size > 0, run, 0)
+                overrun = busy & (size > 0) & (nk > 63)
+                emit = busy & (size > 0) & (nk <= 63)
+                _acc = _acc + jnp.where(
+                    (kiota == nk[None]) & emit[None], val[None], 0
+                )
+                _cur = _cur + jnp.where(busy, alen + size, 0)
+                _k = jnp.where(
+                    busy,
+                    jnp.where(
+                        is_eob, 64,
+                        jnp.where(is_zrl, _k + 16, nk + 1),
+                    ),
+                    _k,
+                )
+                _err = jnp.where(badc, _ERR_BADCODE, _err)
+                _err = jnp.where(overrun, _ERR_RUN, _err)
+                return (_cur, _k, _err, _acc, step + 1)
+
+            k0 = jnp.where(ok, 1, 64)  # done lanes skip the AC loop
+            cur, _k, err, acc, _ = jax.lax.while_loop(
+                cond, body, (cur, k0, err, acc, jnp.int32(0))
+            )
+
+            out_ref[0, 0, b] = acc
+            cur_ref[:] = cur
+            err_acc_ref[:] = err
+
+        # Truncation: consumed beyond the segment (+7 pad bits legal).
+        trunc = (cur_ref[:] > end_ref[0] + 7) & (lane_m > 0)
+        err_ref[0] = err_acc_ref[:] | jnp.where(trunc, _ERR_TRUNC, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("plan_static", "n_groups", "interpret")
+)
+def run_wavefront(
+    bits, lane_m, seg_bits, plan_static, n_groups: int, interpret: bool
+):
+    B, blk_tables, W, n_mcus = plan_static
+    K = LANE_GROUP // SUBLANES
+    base = _make_kernel(plan_static)
+
+    def kernel(lane_m_ref, bits_ref, end_ref, out_ref, err_ref,
+               cur_ref, pred_ref, err_acc_ref):
+        base(
+            lane_m_ref, bits_ref, out_ref, err_ref, cur_ref, end_ref,
+            pred_ref, err_acc_ref,
+        )
+
+    grid = (n_groups, n_mcus)
+    out, err = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, W, SUBLANES, K), lambda g, m: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 1, B, 64, SUBLANES, K),
+                lambda g, m: (g, m, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (n_groups, n_mcus, B, 64, SUBLANES, K), jnp.int32
+            ),
+            jax.ShapeDtypeStruct((n_groups, SUBLANES, K), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((SUBLANES, K), jnp.int32),      # cursor
+            pltpu.VMEM((4, SUBLANES, K), jnp.int32),   # DC predictors
+            pltpu.VMEM((SUBLANES, K), jnp.int32),      # error flags
+        ],
+        interpret=interpret,
+    )(lane_m, bits, seg_bits)
+    return out, err
+
+
+# ---------------------------------------------------------------------------
+# Assembly: dense kernel output -> per-component coefficient tensors
+# ---------------------------------------------------------------------------
+
+
+def assemble(plan: BlockPlan, out: jnp.ndarray, jpegs) -> List[List[jnp.ndarray]]:
+    """[G, M, B, 64, 8, K] -> per image, per component [nb, 64] zigzag
+    coefficient arrays (device-resident), via static transposes only.
+
+    Requires each image's segment count to tile the MCU raster evenly
+    (true whenever DRI divides the MCU row length or equals it) and all
+    lanes to carry the same MCU count; otherwise callers fall back."""
+    frame = jpegs[0].frame
+    B = plan.blocks_per_mcu
+    M = plan.n_mcus
+    K = LANE_GROUP // SUBLANES
+
+    # [G, M, B, 64, 8, K] -> [lane, M, B, 64] with lane = g*2048 + s*K + j
+    flat = out.transpose(0, 4, 5, 1, 2, 3).reshape(
+        plan.n_groups * LANE_GROUP, M, B, 64
+    )
+
+    results: List[List[jnp.ndarray]] = []
+    lane0 = 0
+    scan = jpegs[0].scans[0]
+    interleaved = scan.interleaved
+    for img_i, jpeg in enumerate(jpegs):
+        frame = jpeg.frame
+        if interleaved:
+            total_mcus = frame.mcus_x * frame.mcus_y
+        else:
+            c0 = frame.components[scan.comp_indices[0]]
+            total_mcus = c0.width_blocks * c0.height_blocks
+        nseg = -(-total_mcus // (scan.restart_interval or total_mcus))
+        lanes = flat[lane0 : lane0 + nseg]  # [nseg, M, B, 64]
+        lane0 += nseg
+        # MCU-linear coefficient stream for this image.
+        mcus = lanes.reshape(nseg * M, B, 64)[:total_mcus]
+
+        by_ci: Dict[int, jnp.ndarray] = {}
+        b0 = 0
+        if interleaved:
+            for sp, ci in enumerate(jpeg.scans[0].comp_indices):
+                c = frame.components[ci]
+                nb = c.h * c.v
+                sub = mcus[:, b0 : b0 + nb]  # [mcus, v*h, 64]
+                b0 += nb
+                sub = sub.reshape(frame.mcus_y, frame.mcus_x, c.v, c.h, 64)
+                sub = sub.transpose(0, 2, 1, 3, 4).reshape(
+                    c.padded_hb * c.padded_wb, 64
+                )
+                by_ci[ci] = sub
+            comps = [by_ci[c.index] for c in frame.components]
+        else:
+            ci = scan.comp_indices[0]
+            c = frame.components[ci]
+            grid = mcus[:, 0].reshape(c.height_blocks, c.width_blocks, 64)
+            pad_r = c.padded_hb - c.height_blocks
+            pad_c = c.padded_wb - c.width_blocks
+            grid = jnp.pad(grid, ((0, pad_r), (0, pad_c), (0, 0)))
+            comps = [grid.reshape(c.padded_hb * c.padded_wb, 64)]
+        results.append(comps)
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+
+def decode_batch_to_device(
+    jpegs: Sequence[bitstream.JpegData],
+    config: DecodeConfig = DEFAULT_CONFIG,
+    strict: bool = True,
+) -> Tuple[List[Optional[List[jnp.ndarray]]], Dict[int, Exception]]:
+    """Uniform-batch device decode via the Pallas kernel. Same contract
+    as wavefront.decode_batch_to_device."""
+    plan = build_block_plan(jpegs)
+    interpret = jax.default_backend() != "tpu"
+    plan_static = (
+        plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus
+    )
+    out, err = run_wavefront(
+        jnp.asarray(plan.bits),
+        jnp.asarray(plan.lane_m),
+        jnp.asarray(plan.seg_bits),
+        plan_static,
+        plan.n_groups,
+        interpret,
+    )
+
+    errs = np.asarray(err).reshape(-1)[: plan.n_lanes]
+    failures: Dict[int, Exception] = {}
+    for lane in np.nonzero(errs)[0]:
+        img = plan.lane_meta[int(lane)][0]
+        if img in failures:
+            continue
+        code = int(errs[lane])
+        if code & _ERR_BADCODE:
+            failures[img] = JpegHuffmanError(
+                f"invalid Huffman code in segment {int(lane)} (image {img})"
+            )
+        elif code & _ERR_RUN:
+            failures[img] = JpegHuffmanError(
+                f"AC run past end of block in segment {int(lane)} (image {img})"
+            )
+        else:
+            failures[img] = JpegTruncatedError(
+                f"entropy segment {int(lane)} truncated (image {img})"
+            )
+    if strict and failures:
+        raise failures[min(failures)]
+
+    assembled = assemble(plan, out, jpegs)
+    results: List[Optional[List[jnp.ndarray]]] = []
+    for i in range(len(jpegs)):
+        results.append(None if i in failures else assembled[i])
+    return results, failures
+
+
+def decode_all_scans(
+    jpeg: bitstream.JpegData, config: DecodeConfig = DEFAULT_CONFIG
+) -> List[np.ndarray]:
+    comps, _ = decode_batch_to_device([jpeg], config, strict=True)
+    return [np.asarray(c) for c in comps[0]]

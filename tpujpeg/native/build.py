@@ -55,12 +55,14 @@ def build() -> str:
 
 
 def get_lib() -> ctypes.CDLL:
-    """Load (building if needed) the native library, with argtypes set."""
+    """Load (building if needed) the native library, with argtypes set.
+    TPUJPEG_NATIVE_SO overrides the library path (used by
+    tools/asan_check.sh to load a sanitized build)."""
     global _lib
     with _lock:
         if _lib is not None:
             return _lib
-        lib = ctypes.CDLL(build())
+        lib = ctypes.CDLL(os.environ.get("TPUJPEG_NATIVE_SO") or build())
 
         lib.tj_decode_scan.restype = ctypes.c_int
         lib.tj_decode_scan.argtypes = [

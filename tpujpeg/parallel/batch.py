@@ -79,10 +79,19 @@ def decode_batch_on_device(
     if not valid:
         return BatchResult(images=images, errors=errors, stats=stats)
 
-    # Device entropy stage: one wavefront launch over all images.
-    coeffs_dev, failures = wavefront.decode_batch_to_device(
-        [jpegs[i] for i in valid], config, strict=False
-    )
+    # Device entropy stage: one wavefront launch over all images. The
+    # block-synchronous Pallas kernel handles uniform batches (the
+    # common bucket case); the XLA wavefront is the general fallback.
+    try:
+        from ..kernels import wavefront_pallas
+
+        coeffs_dev, failures = wavefront_pallas.decode_batch_to_device(
+            [jpegs[i] for i in valid], config, strict=False
+        )
+    except JpegError:
+        coeffs_dev, failures = wavefront.decode_batch_to_device(
+            [jpegs[i] for i in valid], config, strict=False
+        )
     for local_i, exc in failures.items():
         errors[valid[local_i]] = exc
 

@@ -70,56 +70,42 @@ def main() -> int:
     from tpujpeg import bitstream
     from tpujpeg.config import DecodeConfig
     from tpujpeg.kernels import pipeline as kernel_pipeline
-    from tpujpeg.kernels import wavefront
+    from tpujpeg.kernels import wavefront_pallas as wp
 
     cfg = DecodeConfig(transform_engine="pallas")
 
     # --- Host prep rate: parse + destuff + wavefront plan build. ---
     jpegs = [bitstream.parse(d) for d in datas]
-    plan = wavefront.build_batch_plan(jpegs)  # warm native lib etc.
+    plan = wp.build_block_plan(jpegs)  # warm native lib etc.
     t0 = time.perf_counter()
     jpegs = [bitstream.parse(d) for d in datas]
-    plan = wavefront.build_batch_plan(jpegs)
+    plan = wp.build_block_plan(jpegs)
     host_prep_mp_s = total_mp / (time.perf_counter() - t0)
 
     # --- Stage plan arrays in HBM (one-time per stream in production;
     # relay-priced here, excluded from the chip-rate loop). ---
     t0 = time.perf_counter()
-    dev = [
-        jax.device_put(x)
-        for x in (
-            plan.words, plan.lut, plan.out_block, plan.sp_tbl, plan.dc_row,
-            plan.ac_row, plan.seg_bit_start, plan.seg_bit_len,
-            plan.first_mcu, plan.lane_mcus, plan.obase, plan.tbase, plan.bpm,
-            plan.cbase,
-        )
-    ]
-    jax.block_until_ready(dev)
+    bits_d = jax.device_put(jnp.asarray(plan.bits))
+    lane_m_d = jax.device_put(jnp.asarray(plan.lane_m))
+    seg_bits_d = jax.device_put(jnp.asarray(plan.seg_bits))
+    _ = np.asarray(lane_m_d)[:1]
     upload_s = time.perf_counter() - t0
 
     frame = jpegs[0].frame
     qtabs = [jnp.asarray(jpegs[0].qtables[c.tq]) for c in frame.components]
-    offs = plan.comp_block_offsets
-    blocks = plan.comp_blocks
+    plan_static = (
+        plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus
+    )
 
-    def chip_decode(max_steps):
-        """Full on-chip decode of the staged batch: wavefront + transform."""
-        coeff, err, consumed, mcu_done = wavefront._wavefront_decode(
-            *dev,
-            n_lanes=plan.n_lanes,
-            max_steps=max_steps,
-            total_coeffs=plan.total_coeffs,
-            uniform=plan.uniform,
+    def chip_decode():
+        """Full on-chip decode of the staged batch: block-synchronous
+        Pallas wavefront + assembly + fused Pallas transform."""
+        out, err = wp.run_wavefront(
+            bits_d, lane_m_d, seg_bits_d, plan_static, plan.n_groups, False
         )
+        per_img = wp.assemble(plan, out, jpegs)
         stacks = [
-            jnp.stack(
-                [
-                    coeff[
-                        (offs[i][ci]) * 64 : (offs[i][ci] + blocks[i][ci]) * 64
-                    ].reshape(blocks[i][ci], 64)
-                    for i in range(nimg)
-                ]
-            )
+            jnp.stack([per_img[i][ci] for i in range(nimg)])
             for ci in range(frame.n_components)
         ]
         rgb = kernel_pipeline.transform_batch(frame, stacks, qtabs, cfg)
@@ -129,21 +115,14 @@ def main() -> int:
     # axon backend (CLAUDE.md) — force a small readback that depends on
     # the full computation as the sync point.
     csum = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
-    # Pick the emission bound like decode_batch_to_device would: the
-    # heuristic unless this corpus overflows it, then the hard bound.
-    max_steps = plan.max_steps
-    rgb, err = chip_decode(max_steps)
+    rgb, err = chip_decode()
     _ = int(csum(rgb))  # compile + warm, true sync
-    if (np.asarray(err) == 3).any():  # _ERR_OVERFLOW
-        max_steps = plan.hard_max_steps
-        rgb, err = chip_decode(max_steps)
-        _ = int(csum(rgb))
-    assert not np.asarray(err).any()
+    assert not np.asarray(err).reshape(-1)[: plan.n_lanes].any()
 
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        rgb, err = chip_decode(max_steps)
+        rgb, err = chip_decode()
         _ = int(csum(rgb))
         times.append(time.perf_counter() - t0)
     chip_mp_s = total_mp / min(times)
@@ -181,6 +160,7 @@ def main() -> int:
                     "e2e_single_image_via_relay_mp_per_s": round(e2e_mp_s, 2),
                     "staged_upload_s": round(upload_s, 3),
                     "wavefront_lanes": plan.n_lanes,
+                    "wavefront_kernel": "pallas_block_synchronous",
                     "platform": jax.devices()[0].platform,
                     "notes": (
                         "value = min(chip full-decode rate, host prep rate):"

@@ -228,26 +228,31 @@ def _find_scan_end(data: bytes, start: int) -> Tuple[int, List[int]]:
     0x00 (stuffed data byte, T.81 §B.1.1.5) nor RST0..RST7 (T.81 §E.2.4)
     nor another 0xFF (fill byte, §B.1.1.2). rst_offsets are relative to
     `start`.
+
+    Vectorized: classify every 0xFF position at once. Equivalent to the
+    byte-serial walk because the byte after a stuffed pair or marker can
+    never itself be part of another 0xFF pair's *second* byte in a way
+    that changes classification (it is only ever skipped when it cannot
+    be 0xFF).
     """
-    rsts: List[int] = []
-    pos = start
-    n = len(data)
-    while True:
-        ff = data.find(0xFF, pos)
-        if ff < 0 or ff + 1 >= n:
-            # Truncated stream: treat end-of-data as end-of-scan; the
-            # entropy decoder raises JpegTruncatedError if it needed more.
-            return n, rsts
-        nxt = data[ff + 1]
-        if nxt == 0x00:
-            pos = ff + 2
-        elif M_RST0 <= nxt <= M_RST7:
-            rsts.append(ff - start)
-            pos = ff + 2
-        elif nxt == 0xFF:
-            pos = ff + 1  # fill byte; re-examine from the second FF
-        else:
-            return ff, rsts
+    arr = np.frombuffer(data, dtype=np.uint8)[start:]
+    ffs = np.nonzero(arr[:-1] == 0xFF)[0] if len(arr) > 1 else np.empty(0, np.int64)
+    if len(ffs) == 0:
+        return len(data), []
+    nxt = arr[ffs + 1]
+    is_term = (
+        (nxt != 0x00)
+        & (nxt != 0xFF)
+        & ~((nxt >= M_RST0) & (nxt <= M_RST7))
+    )
+    term_idx = np.nonzero(is_term)[0]
+    if len(term_idx) == 0:
+        end_rel = len(arr)  # truncated: decoder raises if it needed more
+    else:
+        end_rel = int(ffs[term_idx[0]])
+    is_rst = (nxt >= M_RST0) & (nxt <= M_RST7) & (ffs < end_rel)
+    rsts = ffs[is_rst].tolist()
+    return start + end_rel if len(term_idx) else len(data), rsts
 
 
 def parse(data: bytes) -> JpegData:

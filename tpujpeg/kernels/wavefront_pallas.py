@@ -133,7 +133,7 @@ class BlockPlan:
     blk_tables: Tuple[Tuple[int, CanonTable, CanonTable], ...]
     # Geometry for assembly:
     frame_key: Tuple
-    lane_meta: List[Tuple[int, int, int]]  # (img, first_mcu, n_mcus) per lane
+    lane_meta: np.ndarray   # int32[L, 3]: (img, first_mcu, n_mcus)
     n_lanes: int
     images: int
 
@@ -152,8 +152,8 @@ def build_block_plan(
     )
 
     seg_rows: List[np.ndarray] = []
-    seg_bits: List[int] = []
-    lane_meta: List[Tuple[int, int, int]] = []
+    seg_bits: List[np.ndarray] = []
+    lane_meta: List[np.ndarray] = []
     blk_tables: Optional[Tuple] = None
     max_words = 0
     max_mcus = 0
@@ -222,36 +222,46 @@ def build_block_plan(
         n_seg = -(-total_mcus // ri)
         if len(starts) - 1 < n_seg:
             raise JpegTruncatedError("missing restart segments")
-        for s in range(n_seg):
-            lo, hi = int(starts[s]), int(starts[s + 1])
-            seg_rows.append(buf[lo:hi])
-            seg_bits.append((hi - lo) * 8)
-            fm = s * ri
-            nm = min(ri, total_mcus - fm)
-            lane_meta.append((img_i, fm, nm))
-            max_words = max(max_words, -(-(hi - lo) // 4) + 1)
-            max_mcus = max(max_mcus, nm)
+        # Vectorized lane accounting (the python per-segment loop was
+        # the host-prep bottleneck at ~32K lanes/batch).
+        st = np.asarray(starts[: n_seg + 1], dtype=np.int64)
+        lens = np.diff(st)
+        seg_rows.append(buf[: st[-1]])
+        seg_bits.append((lens * 8).astype(np.int32))
+        fm = np.arange(n_seg, dtype=np.int64) * ri
+        nm = np.minimum(ri, total_mcus - fm).astype(np.int32)
+        lane_meta.append(
+            np.stack(
+                [np.full(n_seg, img_i, np.int32), fm.astype(np.int32), nm],
+                axis=1,
+            )
+        )
+        max_words = max(max_words, int(lens.max()) // 4 + 2 if n_seg else 0)
+        max_mcus = max(max_mcus, int(nm.max()) if n_seg else 0)
 
     if max_words > MAX_WORDS:
         raise JpegUnsupportedError(
             f"pallas wavefront: segment too long ({max_words} words)"
         )
 
-    L = len(seg_rows)
+    seg_bits = np.concatenate(seg_bits)
+    lane_meta = np.concatenate(lane_meta, axis=0)
+    L = len(lane_meta)
     G = -(-L // LANE_GROUP)
     K = LANE_GROUP // SUBLANES
     W = max_words
 
+    # Pack every lane's destuffed bytes into fixed-width rows with one
+    # masked scatter: the concatenated segment bytes enumerate the True
+    # positions of the row mask in the same (lane, byte) order.
     rows = np.full((G * LANE_GROUP, W * 4), 0xFF, dtype=np.uint8)
-    for i, r in enumerate(seg_rows):
-        rows[i, : len(r)] = r
+    lens_all = (seg_bits // 8).astype(np.int64)
+    mask = np.arange(W * 4, dtype=np.int64)[None, :] < lens_all[:, None]
+    rows[:L][mask] = np.concatenate(seg_rows)
     bits = (
         rows.view(">u4")
-        .astype(np.uint32)
-        .astype(np.int64)
-        .astype(np.int64)  # keep full 32-bit pattern before the cast
-        .astype(np.uint32)
-        .view(np.int32)    # int32 storage: Mosaic can't reduce uints
+        .astype(np.uint32)     # byteswap to native order
+        .view(np.int32)        # int32 storage: Mosaic can't reduce uints
         .reshape(G, SUBLANES, K, W)
         .transpose(0, 3, 1, 2)
         .copy()
@@ -259,7 +269,7 @@ def build_block_plan(
     sb = np.zeros(G * LANE_GROUP, np.int32)
     sb[:L] = seg_bits
     lm = np.zeros(G * LANE_GROUP, np.int32)
-    lm[:L] = [m[2] for m in lane_meta]
+    lm[:L] = lane_meta[:, 2]
 
     return BlockPlan(
         bits=bits,

@@ -81,10 +81,17 @@ def _entropy_decode(
         stats.entropy_engine = "native"
         return native_entropy.decode_all_scans(jpeg)
     if engine == "wavefront":
-        from .kernels import wavefront
-
         stats.entropy_engine = "wavefront"
-        return wavefront.decode_all_scans(jpeg, config)
+        try:
+            # Block-synchronous Pallas kernel when the stream fits its
+            # scope; XLA wavefront otherwise.
+            from .kernels import wavefront_pallas
+
+            return wavefront_pallas.decode_all_scans(jpeg, config)
+        except JpegError:
+            from .kernels import wavefront
+
+            return wavefront.decode_all_scans(jpeg, config)
     stats.entropy_engine = "python"
     return huffman.decode_all_scans(jpeg)
 

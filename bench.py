@@ -74,13 +74,17 @@ def main() -> int:
 
     cfg = DecodeConfig(transform_engine="pallas")
 
-    # --- Host prep rate: parse + destuff + wavefront plan build. ---
+    # --- Host prep rate: parse + destuff + wavefront plan build
+    # (best of 3: the shared host is noisy). ---
     jpegs = [bitstream.parse(d) for d in datas]
     plan = wp.build_block_plan(jpegs)  # warm native lib etc.
-    t0 = time.perf_counter()
-    jpegs = [bitstream.parse(d) for d in datas]
-    plan = wp.build_block_plan(jpegs)
-    host_prep_mp_s = total_mp / (time.perf_counter() - t0)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jpegs = [bitstream.parse(d) for d in datas]
+        plan = wp.build_block_plan(jpegs)
+        best = min(best, time.perf_counter() - t0)
+    host_prep_mp_s = total_mp / best
 
     # --- Stage plan arrays in HBM (one-time per stream in production;
     # relay-priced here, excluded from the chip-rate loop). ---
@@ -92,23 +96,25 @@ def main() -> int:
     upload_s = time.perf_counter() - t0
 
     frame = jpegs[0].frame
-    qtabs = [jnp.asarray(jpegs[0].qtables[c.tq]) for c in frame.components]
+    assert plan.qtabs is not None
     plan_static = (
-        plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus
+        plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus,
+        "pixels", plan.qtabs,
     )
 
     def chip_decode():
-        """Full on-chip decode of the staged batch: block-synchronous
-        Pallas wavefront + assembly + fused Pallas transform."""
+        """Fully fused on-chip decode of the staged batch: ONE kernel
+        does wavefront entropy + dequant + islow IDCT; the fused
+        upsample/color kernels finish. Coefficients never exist in HBM."""
         out, err = wp.run_wavefront(
             bits_d, lane_m_d, seg_bits_d, plan_static, plan.n_groups, False
         )
-        per_img = wp.assemble(plan, out, jpegs)
+        per_img = wp.assemble_pixels(plan, out, jpegs)
         stacks = [
             jnp.stack([per_img[i][ci] for i in range(nimg)])
             for ci in range(frame.n_components)
         ]
-        rgb = kernel_pipeline.transform_batch(frame, stacks, qtabs, cfg)
+        rgb = kernel_pipeline.transform_planes_batch(frame, stacks, cfg)
         return rgb, err
 
     # Sync discipline: block_until_ready does not reliably await on the
@@ -160,7 +166,7 @@ def main() -> int:
                     "e2e_single_image_via_relay_mp_per_s": round(e2e_mp_s, 2),
                     "staged_upload_s": round(upload_s, 3),
                     "wavefront_lanes": plan.n_lanes,
-                    "wavefront_kernel": "pallas_block_synchronous",
+                    "wavefront_kernel": "pallas_block_synchronous_fused_idct",
                     "platform": jax.devices()[0].platform,
                     "notes": (
                         "value = min(chip full-decode rate, host prep rate):"

@@ -84,3 +84,47 @@ def test_on_device_batch_uses_pallas_path_bit_exact():
     assert not res.errors
     for d, img in zip(datas, res.images):
         np.testing.assert_array_equal(img, pil_decode(d))
+
+
+FUSED_CASES = [
+    dict(w=120, h=88, subsampling=2, restart_blocks=4),
+    dict(w=96, h=64, subsampling=0, restart_blocks=3),
+    dict(w=96, h=64, subsampling=1, restart_blocks=3),
+    dict(w=96, h=64, subsampling=2, mode="L", restart_blocks=3),
+    dict(w=129, h=65, subsampling=2, restart_blocks=3),
+    dict(w=96, h=64, subsampling=2, quality=98, restart_blocks=3),
+]
+
+
+@pytest.mark.parametrize(
+    "case", FUSED_CASES, ids=[str(i) for i in range(len(FUSED_CASES))]
+)
+def test_fused_pixels_path_bit_exact(case):
+    """decode_batch_to_rgb: wavefront + dequant + IDCT in ONE kernel,
+    then fused upsample/color — must equal PIL byte-for-byte."""
+    kw = dict(case)
+    w, h = kw.pop("w"), kw.pop("h")
+    data = make_jpeg(w, h, seed=9, **kw)
+    rgb, failures = wp.decode_batch_to_rgb([bitstream.parse(data)])
+    assert not failures
+    np.testing.assert_array_equal(np.asarray(rgb[0]), pil_decode(data))
+
+
+def test_fused_pixels_batch_and_fault_isolation():
+    good = [
+        make_jpeg(120, 88, seed=s, subsampling=2, restart_blocks=4)
+        for s in range(2)
+    ]
+    jpegs = [bitstream.parse(d) for d in good + [good[0]]]
+    jpegs[2].scans[0].data = bytes(len(jpegs[2].scans[0].data))
+    rgb, failures = wp.decode_batch_to_rgb(jpegs)
+    assert set(failures) == {2}
+    for i, d in enumerate(good):
+        np.testing.assert_array_equal(np.asarray(rgb[i]), pil_decode(d))
+
+
+def test_fused_pixels_rejects_no_restart_oversize():
+    # One 3.5KB segment exceeds the VMEM row cap -> explicit fallback.
+    data = make_jpeg(96, 64, seed=9, subsampling=0)
+    with pytest.raises(JpegUnsupportedError):
+        wp.decode_batch_to_rgb([bitstream.parse(data)])

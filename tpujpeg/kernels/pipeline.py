@@ -62,38 +62,9 @@ def _make_frame(key: Tuple) -> bitstream.Frame:
     return frame
 
 
-@functools.lru_cache(maxsize=128)
-def _build_batch(key: Tuple, idct_variant: str, fancy: bool, interpret: bool):
-    """Jitted [N, ...]-batched transform for one frame geometry."""
-    frame = _make_frame(key)
-    expansions = [
-        (frame.hmax // c.h, frame.vmax // c.v) for c in frame.components
-    ]
-
-    def fn(coeffs: Sequence[jnp.ndarray], qtabs: Sequence[jnp.ndarray]):
-        n = coeffs[0].shape[0]
-        planes: List[jnp.ndarray] = []
-        for ci, c in enumerate(frame.components):
-            nb = c.padded_hb * c.padded_wb
-            if idct_variant == "matmul":
-                samples = idct_k.dequant_idct_matmul(
-                    coeffs[ci].reshape(n * nb, 64), qtabs[ci]
-                )
-                plane = T.blocks_to_plane(
-                    samples, n * c.padded_hb, c.padded_wb
-                ).reshape(n, c.padded_hb * 8, c.padded_wb * 8)
-            else:
-                flat = coeffs[ci].reshape(n * nb, 64)
-                pad = (-(n * nb)) % idct_k.LANE_TILE
-                cm = jnp.pad(flat, ((0, pad), (0, 0))).T
-                out_cm = idct_k.dequant_idct_islow_cm(
-                    cm, qtabs[ci], interpret=interpret
-                )
-                plane = _cm_to_planes(
-                    out_cm[:, : n * nb], n, c.padded_hb, c.padded_wb
-                )
-            planes.append(plane[:, : c.dheight, : c.dwidth])
-
+def _color_stage(frame, expansions, planes, fancy: bool, interpret: bool):
+    """Shared tail: cropped sample planes -> RGB/grayscale raster."""
+    if True:
         if frame.n_components == 1:
             return planes[0][:, : frame.height, : frame.width]
 
@@ -147,7 +118,73 @@ def _build_batch(key: Tuple, idct_variant: str, fancy: bool, interpret: bool):
 
         return jax.vmap(tail)(planes)
 
+
+@functools.lru_cache(maxsize=128)
+def _build_batch(key: Tuple, idct_variant: str, fancy: bool, interpret: bool):
+    """Jitted [N, ...]-batched transform for one frame geometry."""
+    frame = _make_frame(key)
+    expansions = [
+        (frame.hmax // c.h, frame.vmax // c.v) for c in frame.components
+    ]
+
+    def fn(coeffs: Sequence[jnp.ndarray], qtabs: Sequence[jnp.ndarray]):
+        n = coeffs[0].shape[0]
+        planes: List[jnp.ndarray] = []
+        for ci, c in enumerate(frame.components):
+            nb = c.padded_hb * c.padded_wb
+            if idct_variant == "matmul":
+                samples = idct_k.dequant_idct_matmul(
+                    coeffs[ci].reshape(n * nb, 64), qtabs[ci]
+                )
+                plane = T.blocks_to_plane(
+                    samples, n * c.padded_hb, c.padded_wb
+                ).reshape(n, c.padded_hb * 8, c.padded_wb * 8)
+            else:
+                flat = coeffs[ci].reshape(n * nb, 64)
+                pad = (-(n * nb)) % idct_k.LANE_TILE
+                cm = jnp.pad(flat, ((0, pad), (0, 0))).T
+                out_cm = idct_k.dequant_idct_islow_cm(
+                    cm, qtabs[ci], interpret=interpret
+                )
+                plane = _cm_to_planes(
+                    out_cm[:, : n * nb], n, c.padded_hb, c.padded_wb
+                )
+            planes.append(plane[:, : c.dheight, : c.dwidth])
+        return _color_stage(frame, expansions, planes, fancy, interpret)
+
     return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=128)
+def _build_planes_batch(key: Tuple, fancy: bool, interpret: bool):
+    """Jitted color/upsample stage for pre-IDCT'd sample planes
+    ([N, padded_h, padded_w] uint8 per component — the fused wavefront
+    kernel's output layout)."""
+    frame = _make_frame(key)
+    expansions = [
+        (frame.hmax // c.h, frame.vmax // c.v) for c in frame.components
+    ]
+
+    def fn(planes_in: Sequence[jnp.ndarray]):
+        planes = [
+            p[:, : c.dheight, : c.dwidth]
+            for p, c in zip(planes_in, frame.components)
+        ]
+        return _color_stage(frame, expansions, planes, fancy, interpret)
+
+    return jax.jit(fn)
+
+
+def transform_planes_batch(frame, planes, config: DecodeConfig):
+    """planes[ci]: uint8[N, padded_h, padded_w] sample planes."""
+    key = (
+        frame.height,
+        frame.width,
+        tuple((c.h, c.v) for c in frame.components),
+    )
+    interpret = jax.default_backend() != "tpu"
+    fn = _build_planes_batch(key, config.fancy_upsampling, interpret)
+    return fn([jnp.asarray(p) for p in planes])
 
 
 def transform_batch(

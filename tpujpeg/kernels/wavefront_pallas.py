@@ -122,7 +122,7 @@ def _select_tree(idx: jnp.ndarray, values: Sequence[int]) -> jnp.ndarray:
 
 @dataclasses.dataclass
 class BlockPlan:
-    bits: np.ndarray        # uint32[G, W, 8, K] per-lane bitstream rows
+    bits: np.ndarray        # int32[G, 8, K, W] per-lane bitstream rows
     seg_bits: np.ndarray    # int32[G, 8, K] true bit length per lane
     lane_m: np.ndarray      # int32[G, 8, K] MCUs per lane
     n_groups: int
@@ -136,6 +136,9 @@ class BlockPlan:
     lane_meta: np.ndarray   # int32[L, 3]: (img, first_mcu, n_mcus)
     n_lanes: int
     images: int
+    # Static zigzag quantizer per block position (None when images
+    # disagree -> fused-IDCT pixels mode unavailable).
+    qtabs: Optional[Tuple[Tuple[int, ...], ...]] = None
 
 
 def build_block_plan(
@@ -206,7 +209,15 @@ def build_block_plan(
         elif blk_tables != tables_t:
             raise JpegUnsupportedError("pallas wavefront: mixed tables")
 
-        buf, starts = wf_xla._destuff(scan)
+        q_t = tuple(
+            tuple(int(x) for x in jpeg.qtables[frame.components[ci].tq])
+            for ci, _d, _a in tables
+        )
+        if img_i == 0:
+            qtabs0: Optional[Tuple] = q_t
+        elif qtabs0 != q_t:
+            qtabs0 = None  # mixed quantizers: no fused-IDCT mode
+
         if scan.interleaved:
             total_mcus = frame.mcus_x * frame.mcus_y
         else:
@@ -220,14 +231,19 @@ def build_block_plan(
             # (last lane short), so mixed intervals fall back.
             raise JpegUnsupportedError("pallas wavefront: mixed restart intervals")
         n_seg = -(-total_mcus // ri)
-        if len(starts) - 1 < n_seg:
+        if len(scan.rst_offsets) + 1 < n_seg:
             raise JpegTruncatedError("missing restart segments")
-        # Vectorized lane accounting (the python per-segment loop was
-        # the host-prep bottleneck at ~32K lanes/batch).
-        st = np.asarray(starts[: n_seg + 1], dtype=np.int64)
-        lens = np.diff(st)
-        seg_rows.append(buf[: st[-1]])
-        seg_bits.append((lens * 8).astype(np.int32))
+        # Stuffed segment lengths bound the destuffed row size (never
+        # expands), so rows can be sized without destuffing first.
+        offs_r = np.asarray(
+            list(scan.rst_offsets[: n_seg - 1]) + [len(scan.data)],
+            dtype=np.int64,
+        )
+        starts_r = np.concatenate(
+            [[0], np.asarray(scan.rst_offsets[: n_seg - 1], np.int64) + 2]
+        )
+        stuffed = offs_r - starts_r
+        seg_rows.append(scan)
         fm = np.arange(n_seg, dtype=np.int64) * ri
         nm = np.minimum(ri, total_mcus - fm).astype(np.int32)
         lane_meta.append(
@@ -236,7 +252,9 @@ def build_block_plan(
                 axis=1,
             )
         )
-        max_words = max(max_words, int(lens.max()) // 4 + 2 if n_seg else 0)
+        max_words = max(
+            max_words, int(stuffed.max()) // 4 + 2 if n_seg else 0
+        )
         max_mcus = max(max_mcus, int(nm.max()) if n_seg else 0)
 
     if max_words > MAX_WORDS:
@@ -244,30 +262,49 @@ def build_block_plan(
             f"pallas wavefront: segment too long ({max_words} words)"
         )
 
-    seg_bits = np.concatenate(seg_bits)
     lane_meta = np.concatenate(lane_meta, axis=0)
     L = len(lane_meta)
     G = -(-L // LANE_GROUP)
     K = LANE_GROUP // SUBLANES
     W = max_words
 
-    # Pack every lane's destuffed bytes into fixed-width rows with one
-    # masked scatter: the concatenated segment bytes enumerate the True
-    # positions of the row mask in the same (lane, byte) order.
-    rows = np.full((G * LANE_GROUP, W * 4), 0xFF, dtype=np.uint8)
-    lens_all = (seg_bits // 8).astype(np.int64)
-    mask = np.arange(W * 4, dtype=np.int64)[None, :] < lens_all[:, None]
-    rows[:L][mask] = np.concatenate(seg_rows)
-    bits = (
-        rows.view(">u4")
-        .astype(np.uint32)     # byteswap to native order
-        .view(np.int32)        # int32 storage: Mosaic can't reduce uints
-        .reshape(G, SUBLANES, K, W)
-        .transpose(0, 3, 1, 2)
-        .copy()
-    )
-    sb = np.zeros(G * LANE_GROUP, np.int32)
-    sb[:L] = seg_bits
+    # Destuff every segment straight into fixed-width byte-swapped word
+    # rows — one threaded native pass per image (tj_destuff_rows); the
+    # pure-python fallback packs rows with a masked scatter.
+    bits_flat = np.empty((G * LANE_GROUP, W), dtype=np.int32)
+    seg_bits = np.zeros(G * LANE_GROUP, dtype=np.int32)
+    lane0 = 0
+    try:
+        from ..native import entropy as native_entropy
+
+        lane0 = 0
+        for img_i, scan in enumerate(seg_rows):
+            n_seg = int(np.sum(lane_meta[:, 0] == img_i))
+            native_entropy.destuff_rows(
+                scan, n_seg, W,
+                bits_flat[lane0 : lane0 + n_seg],
+                seg_bits[lane0 : lane0 + n_seg],
+            )
+            lane0 += n_seg
+    except ImportError:
+        lane0 = 0
+        for img_i, scan in enumerate(seg_rows):
+            n_seg = int(np.sum(lane_meta[:, 0] == img_i))
+            pieces = bitstream.split_restart_segments(scan)[:n_seg]
+            lens = np.asarray([len(pc) for pc in pieces], np.int64)
+            rows_u8 = np.full((n_seg, W * 4), 0xFF, np.uint8)
+            mask = np.arange(W * 4, dtype=np.int64)[None, :] < lens[:, None]
+            rows_u8[mask] = np.frombuffer(b"".join(pieces), np.uint8)
+            bits_flat[lane0 : lane0 + n_seg] = (
+                rows_u8.view(">u4").astype(np.uint32).view(np.int32)
+            )
+            seg_bits[lane0 : lane0 + n_seg] = (lens * 8).astype(np.int32)
+            lane0 += n_seg
+    # Pad lanes: all-ones bitstream, zero MCUs (never decoded).
+    if lane0 < G * LANE_GROUP:
+        bits_flat[lane0:] = -1
+    bits = bits_flat.reshape(G, SUBLANES, K, W)
+    sb = seg_bits
     lm = np.zeros(G * LANE_GROUP, np.int32)
     lm[:L] = lane_meta[:, 2]
 
@@ -284,6 +321,7 @@ def build_block_plan(
         lane_meta=lane_meta,
         n_lanes=L,
         images=len(jpegs),
+        qtabs=qtabs0,
     )
 
 
@@ -293,8 +331,15 @@ def build_block_plan(
 
 
 def _make_kernel(plan_static):
-    """Build the kernel function for one (B, tables, W, n_mcus) config."""
-    B, blk_tables, W, n_mcus = plan_static
+    """Build the kernel function for one static config. plan_static =
+    (B, blk_tables, W, n_mcus, emit, qtabs): emit='coeff' writes zigzag
+    coefficient blocks; emit='pixels' fuses dequant + islow IDCT +
+    level-shift into the epilogue (the completed block's coefficients
+    are already in registers, so the butterflies are nearly free and
+    the int32 coefficient round-trip through HBM disappears) and writes
+    uint8 samples. qtabs[b] is the static zigzag quantizer of block
+    position b's component (pixels mode only)."""
+    B, blk_tables, W, n_mcus, emit, qtabs = plan_static
     K = LANE_GROUP // SUBLANES
 
     def window64(bits, cur):
@@ -436,7 +481,40 @@ def _make_kernel(plan_static):
                 cond, body, (cur, k0, err, acc, jnp.int32(0))
             )
 
-            out_ref[0, 0, b] = acc
+            if emit == "coeff":
+                out_ref[0, 0, b] = acc
+            else:
+                # Fused dequant + islow IDCT (same arithmetic as
+                # transform.idct8x8_islow, bit-exact) on the block
+                # register. acc rows are zigzag; un-zigzag via static
+                # row indexing, butterflies on [8, 8, K] row groups.
+                from .. import transform as T
+                from ..bitstream import NATURAL_TO_ZIGZAG
+
+                deq = [
+                    acc[int(NATURAL_TO_ZIGZAG[n])]
+                    * qtabs[b][int(NATURAL_TO_ZIGZAG[n])]
+                    for n in range(64)
+                ]
+                grp = [
+                    jnp.stack(deq[i * 8 : (i + 1) * 8], axis=0)
+                    for i in range(8)
+                ]  # [8(c), 8, K] per frequency row i
+                ws = T._idct_1d(grp, T.CONST_BITS - T.PASS1_BITS)
+                s2 = [
+                    jnp.stack([ws[r][c] for r in range(8)], axis=0)
+                    for c in range(8)
+                ]  # [8(r), 8, K] per column frequency c
+                o = T._idct_1d(s2, T.CONST_BITS + T.PASS1_BITS + 3)
+                rows = []
+                for r in range(8):
+                    for j in range(8):
+                        rows.append(
+                            jnp.clip(o[j][r] + 128, 0, 255).astype(jnp.uint8)
+                        )
+                # [512, K]: pixel n = r*8+j occupies sublane rows
+                # n*8..n*8+8 (the state sublane axis).
+                out_ref[b, 0, 0] = jnp.concatenate(rows, axis=0)
             cur_ref[:] = cur
             err_acc_ref[:] = err
 
@@ -453,9 +531,12 @@ def _make_kernel(plan_static):
 def run_wavefront(
     bits, lane_m, seg_bits, plan_static, n_groups: int, interpret: bool
 ):
-    B, blk_tables, W, n_mcus = plan_static
+    B, blk_tables, W, n_mcus, emit, qtabs = plan_static
     K = LANE_GROUP // SUBLANES
     base = _make_kernel(plan_static)
+    # Device-side layout change: [G, 8, K, W] host order -> the
+    # kernel's word-major [G, W, 8, K].
+    bits = jnp.transpose(bits, (0, 3, 1, 2))
 
     def kernel(lane_m_ref, bits_ref, end_ref, out_ref, err_ref,
                cur_ref, pred_ref, err_acc_ref):
@@ -487,6 +568,12 @@ def run_wavefront(
                 (1, 1, B, 64, SUBLANES, K),
                 lambda g, m: (g, m, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
+            )
+            if emit == "coeff"
+            else pl.BlockSpec(
+                (B, 1, 1, 64 * SUBLANES, K),
+                lambda g, m: (0, g, m, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, SUBLANES, K), lambda g, m: (g, 0, 0),
@@ -496,6 +583,10 @@ def run_wavefront(
         out_shape=(
             jax.ShapeDtypeStruct(
                 (n_groups, n_mcus, B, 64, SUBLANES, K), jnp.int32
+            )
+            if emit == "coeff"
+            else jax.ShapeDtypeStruct(
+                (B, n_groups, n_mcus, 64 * SUBLANES, K), jnp.uint8
             ),
             jax.ShapeDtypeStruct((n_groups, SUBLANES, K), jnp.int32),
         ),
@@ -589,7 +680,8 @@ def decode_batch_to_device(
     plan = build_block_plan(jpegs)
     interpret = jax.default_backend() != "tpu"
     plan_static = (
-        plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus
+        plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus,
+        "coeff", None,
     )
     out, err = run_wavefront(
         jnp.asarray(plan.bits),
@@ -634,3 +726,133 @@ def decode_all_scans(
 ) -> List[np.ndarray]:
     comps, _ = decode_batch_to_device([jpeg], config, strict=True)
     return [np.asarray(c) for c in comps[0]]
+
+
+# ---------------------------------------------------------------------------
+# Fused pixels path: wavefront + dequant + IDCT in one kernel
+# ---------------------------------------------------------------------------
+
+
+def assemble_pixels(
+    plan: BlockPlan, out: jnp.ndarray, jpegs
+) -> List[List[jnp.ndarray]]:
+    """[B, G, M, 512, K] uint8 kernel output -> per image, per component
+    sample planes [padded_h, padded_w] (device-resident), via static
+    reshape/transposes on uint8 (4x less traffic than coefficient
+    assembly)."""
+    frame = jpegs[0].frame
+    scan = jpegs[0].scans[0]
+    B, M = plan.blocks_per_mcu, plan.n_mcus
+    K = LANE_GROUP // SUBLANES
+    G = plan.n_groups
+    # dim3 = n*8 + s (pixel n, state sublane s): split, lane-major.
+    px = out.reshape(B, G, M, 64, SUBLANES, K).transpose(0, 1, 4, 5, 2, 3)
+    px = px.reshape(B, G * LANE_GROUP, M, 64)
+
+    results: List[List[jnp.ndarray]] = []
+    lane0 = 0
+    for jpeg in jpegs:
+        frame = jpeg.frame
+        if scan.interleaved:
+            total_mcus = frame.mcus_x * frame.mcus_y
+        else:
+            c0 = frame.components[scan.comp_indices[0]]
+            total_mcus = c0.width_blocks * c0.height_blocks
+        nseg = -(-total_mcus // (scan.restart_interval or total_mcus))
+        sub = px[:, lane0 : lane0 + nseg].reshape(B, nseg * M, 64)[
+            :, :total_mcus
+        ]
+        lane0 += nseg
+
+        if scan.interleaved:
+            by_ci: Dict[int, jnp.ndarray] = {}
+            b0 = 0
+            for sp, ci in enumerate(scan.comp_indices):
+                c = frame.components[ci]
+                nb = c.h * c.v
+                a = sub[b0 : b0 + nb]  # [v*h, mcus, 64]
+                b0 += nb
+                a = a.reshape(c.v, c.h, frame.mcus_y, frame.mcus_x, 8, 8)
+                # plane[(my*v+dv)*8+r, (mx*h+dh)*8+cc]
+                a = a.transpose(2, 0, 4, 3, 1, 5).reshape(
+                    c.padded_hb * 8, c.padded_wb * 8
+                )
+                by_ci[ci] = a
+            planes = [by_ci[c.index] for c in frame.components]
+        else:
+            ci = scan.comp_indices[0]
+            c = frame.components[ci]
+            a = sub[0].reshape(c.height_blocks, c.width_blocks, 8, 8)
+            a = a.transpose(0, 2, 1, 3).reshape(
+                c.height_blocks * 8, c.width_blocks * 8
+            )
+            # Zero-pad to the MCU-padded grid; the crop before
+            # upsampling never reaches the padding.
+            a = jnp.pad(
+                a,
+                (
+                    (0, c.padded_hb * 8 - a.shape[0]),
+                    (0, c.padded_wb * 8 - a.shape[1]),
+                ),
+            )
+            planes = [a]
+        results.append(planes)
+    return results
+
+
+def decode_batch_to_rgb(
+    jpegs: Sequence[bitstream.JpegData],
+    config: DecodeConfig = DEFAULT_CONFIG,
+) -> Tuple[Optional[jnp.ndarray], Dict[int, Exception]]:
+    """Fully fused on-chip decode: one kernel does wavefront entropy +
+    dequant + IDCT, then the fused upsample/color kernels produce RGB —
+    coefficients never exist in HBM. Returns ([N, H, W, 3] or [N, H, W]
+    device array, failures)."""
+    from . import pipeline as kernel_pipeline
+
+    plan = build_block_plan(jpegs)
+    if plan.qtabs is None:
+        raise JpegUnsupportedError(
+            "fused pixels mode needs identical quantizers across the batch"
+        )
+    interpret = jax.default_backend() != "tpu"
+    plan_static = (
+        plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus,
+        "pixels", plan.qtabs,
+    )
+    out, err = run_wavefront(
+        jnp.asarray(plan.bits),
+        jnp.asarray(plan.lane_m),
+        jnp.asarray(plan.seg_bits),
+        plan_static,
+        plan.n_groups,
+        interpret,
+    )
+    errs = np.asarray(err).reshape(-1)[: plan.n_lanes]
+    failures: Dict[int, Exception] = {}
+    for lane in np.nonzero(errs)[0]:
+        img = int(plan.lane_meta[int(lane)][0])
+        if img in failures:
+            continue
+        code = int(errs[lane])
+        if code & _ERR_BADCODE:
+            failures[img] = JpegHuffmanError(
+                f"invalid Huffman code in segment {int(lane)} (image {img})"
+            )
+        elif code & _ERR_RUN:
+            failures[img] = JpegHuffmanError(
+                f"AC run past end of block in segment {int(lane)} (image {img})"
+            )
+        else:
+            failures[img] = JpegTruncatedError(
+                f"entropy segment {int(lane)} truncated (image {img})"
+            )
+
+    per_img = assemble_pixels(plan, out, jpegs)
+    frame = jpegs[0].frame
+    stacked = [
+        jnp.stack([per_img[i][ci] for i in range(len(jpegs))])
+        for ci in range(frame.n_components)
+    ]
+    rgb = kernel_pipeline.transform_planes_batch(frame, stacked, config)
+    return rgb, failures

@@ -83,6 +83,19 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int,                     # err_len
         ]
 
+        lib.tj_destuff_rows.restype = ctypes.c_int
+        lib.tj_destuff_rows.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
+
         lib.tj_destuff_segments.restype = ctypes.c_int64
         lib.tj_destuff_segments.argtypes = [
             ctypes.c_char_p,

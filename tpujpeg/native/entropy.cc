@@ -703,6 +703,64 @@ int tj_decode_scan(const uint8_t* scan_data, int64_t scan_len,
   return code;
 }
 
+// Destuff every restart segment of a scan directly into fixed-width
+// per-lane word rows for the device wavefront kernel: row s holds
+// segment s's bytes, 0xFF-padded to row_words*4 bytes, byte-swapped so
+// a native int32 load yields the big-endian (MSB-first) word value.
+// out_words: int32[n_seg * row_words]; out_bits: int32[n_seg] true bit
+// lengths. Returns 0, or 1 if any segment overflows row_words.
+int tj_destuff_rows(const uint8_t* scan_data, int64_t scan_len,
+                    const int64_t* rst_offsets, int n_rst, int n_seg,
+                    int row_words, int32_t* out_words, int32_t* out_bits,
+                    int n_threads) {
+  std::atomic<int> overflow{0};
+  const size_t row_bytes = static_cast<size_t>(row_words) * 4;
+
+  auto run_range = [&](int lo, int hi) {
+    for (int s = lo; s < hi; s++) {
+      int64_t start = (s == 0) ? 0 : rst_offsets[s - 1] + 2;
+      int64_t end = (s < n_rst) ? rst_offsets[s] : scan_len;
+      int64_t src_len = end - start;
+      if (static_cast<size_t>(src_len) > row_bytes) {
+        // Destuffing never expands, so clamping the (stuffed) source to
+        // the row keeps the write in bounds; flag for the caller.
+        overflow.store(1);
+        src_len = static_cast<int64_t>(row_bytes);
+      }
+      uint8_t* row = reinterpret_cast<uint8_t*>(out_words) +
+                     static_cast<size_t>(s) * row_bytes;
+      size_t n = destuff(scan_data + start, static_cast<size_t>(src_len),
+                         row);
+      std::memset(row + n, 0xFF, row_bytes - n);
+      out_bits[s] = static_cast<int32_t>(n * 8);
+      // Byte-swap each word in place (MSB-first bit order as int32).
+      for (size_t w = 0; w < row_bytes; w += 4) {
+        uint32_t v;
+        std::memcpy(&v, row + w, 4);
+        v = __builtin_bswap32(v);
+        std::memcpy(row + w, &v, 4);
+      }
+    }
+  };
+
+  int nt = n_threads;
+  if (nt > n_seg) nt = n_seg;
+  if (nt <= 1) {
+    run_range(0, n_seg);
+  } else {
+    std::vector<std::thread> workers;
+    int per = (n_seg + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+      int lo = t * per;
+      int hi = std::min(n_seg, lo + per);
+      if (lo >= hi) break;
+      workers.emplace_back(run_range, lo, hi);
+    }
+    for (auto& th : workers) th.join();
+  }
+  return overflow.load();
+}
+
 // Destuff a whole scan into `out` (callee-sized >= scan_len) and emit the
 // segment start offsets within the destuffed buffer. seg_starts must hold
 // n_rst+2 entries; seg_starts[n_segments] = total destuffed length.

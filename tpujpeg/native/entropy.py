@@ -143,3 +143,35 @@ def destuff_segments(scan: bitstream.Scan) -> Tuple[np.ndarray, np.ndarray]:
         starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out[:total], starts
+
+
+def destuff_rows(
+    scan: bitstream.Scan,
+    n_seg: int,
+    row_words: int,
+    out_words: np.ndarray,
+    out_bits: np.ndarray,
+    n_threads: int = 0,
+) -> None:
+    """Destuff every restart segment straight into fixed-width,
+    byte-swapped int32 word rows (the Pallas wavefront kernel's input
+    layout). out_words: int32[n_seg(+pad), row_words] C-contiguous slice;
+    out_bits: int32[n_seg]."""
+    lib = build_mod.get_lib()
+    if n_threads <= 0:
+        n_threads = default_threads()
+    rsts = np.asarray(scan.rst_offsets, dtype=np.int64)
+    assert out_words.dtype == np.int32 and out_words.flags.c_contiguous
+    rc = lib.tj_destuff_rows(
+        scan.data,
+        len(scan.data),
+        rsts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(scan.rst_offsets),
+        n_seg,
+        row_words,
+        out_words.ctypes.data_as(ctypes.c_void_p),
+        out_bits.ctypes.data_as(ctypes.c_void_p),
+        n_threads,
+    )
+    if rc != 0:
+        raise JpegTruncatedError("segment exceeds wavefront row capacity")

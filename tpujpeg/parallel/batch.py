@@ -79,9 +79,36 @@ def decode_batch_on_device(
     if not valid:
         return BatchResult(images=images, errors=errors, stats=stats)
 
-    # Device entropy stage: one wavefront launch over all images. The
-    # block-synchronous Pallas kernel handles uniform batches (the
-    # common bucket case); the XLA wavefront is the general fallback.
+    # Fully fused path first: ONE kernel does wavefront entropy +
+    # dequant + IDCT, upsample/color kernels finish — coefficients never
+    # exist in HBM. Needs a uniform batch (geometry/tables/quantizers).
+    try:
+        from ..kernels import wavefront_pallas
+
+        rgb, failures = wavefront_pallas.decode_batch_to_rgb(
+            [jpegs[i] for i in valid], config
+        )
+    except JpegError:
+        rgb = None
+    if rgb is not None:
+        frame0 = jpegs[valid[0]].frame
+        for local_i, i in enumerate(valid):
+            if local_i in failures:
+                errors[i] = failures[local_i]
+                continue
+            img = rgb[local_i]
+            images[i] = np.asarray(img) if config.to_numpy else img
+            st = DecodeStats()
+            st.width, st.height = frame0.width, frame0.height
+            st.n_components = frame0.n_components
+            st.entropy_engine = "wavefront-fused"
+            st.transform_engine = "pallas"
+            stats[i] = st
+        return BatchResult(images=images, errors=errors, stats=stats)
+
+    # General fallback: device coefficient decode (block-synchronous
+    # Pallas kernel for uniform batches, XLA wavefront otherwise), then
+    # the bucketed transform below.
     try:
         from ..kernels import wavefront_pallas
 

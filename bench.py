@@ -102,12 +102,10 @@ def main() -> int:
         "pixels", plan.qtabs,
     )
 
-    def chip_decode():
-        """Fully fused on-chip decode of the staged batch: ONE kernel
-        does wavefront entropy + dequant + islow IDCT; the fused
-        upsample/color kernels finish. Coefficients never exist in HBM."""
+    @jax.jit
+    def _chain(bits, lane_m, seg_bits):
         out, err = wp.run_wavefront(
-            bits_d, lane_m_d, seg_bits_d, plan_static, plan.n_groups, False
+            bits, lane_m, seg_bits, plan_static, plan.n_groups, False
         )
         per_img = wp.assemble_pixels(plan, out, jpegs)
         stacks = [
@@ -116,6 +114,13 @@ def main() -> int:
         ]
         rgb = kernel_pipeline.transform_planes_batch(frame, stacks, cfg)
         return rgb, err
+
+    def chip_decode():
+        """Fully fused on-chip decode of the staged batch, compiled as
+        ONE XLA program: wavefront entropy + dequant + islow IDCT in a
+        single Pallas kernel, pixel assembly, fused upsample/color.
+        Coefficients never exist in HBM."""
+        return _chain(bits_d, lane_m_d, seg_bits_d)
 
     # Sync discipline: block_until_ready does not reliably await on the
     # axon backend (CLAUDE.md) — force a small readback that depends on

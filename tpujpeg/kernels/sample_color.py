@@ -37,6 +37,15 @@ from .. import transform as T
 # Chroma rows per strip (h2v2) / luma rows per strip (h2v1, 444).
 ROW_TILE = 64
 
+
+def _pick_tile(width: int) -> int:
+    """Strip height scaled so the kernel's VMEM working set stays
+    bounded for wide images (blocks span the full row width)."""
+    t = ROW_TILE
+    while t > 8 and t * width > 131072:
+        t //= 2
+    return t
+
 _FIX_R_CR = T._fix(1.40200)
 _FIX_B_CB = T._fix(1.77200)
 _FIX_G_CB = -T._fix(0.34414)
@@ -148,7 +157,7 @@ def upsample_color_h2v2_batch(y, cb, cr, interpret: bool = False):
     ROW_TILE, Wc of 128 (caller edge-pads). Returns uint8[N, 3, 2Hc, 2Wc]."""
     n, hc, wc = cb.shape
     assert hc % ROW_TILE == 0 and y.shape == (n, 2 * hc, 2 * wc), (y.shape, cb.shape)
-    t2 = ROW_TILE
+    t2 = _pick_tile(wc)
     grid = (n, hc // t2)
     y4 = _phase_split(y, 2, 2)  # [N, 4, Hc, Wc]
 
@@ -187,7 +196,7 @@ def upsample_color_h2v1_batch(y, cb, cr, interpret: bool = False):
     """y: uint8[N, H, 2Wc]; cb, cr: uint8[N, H, Wc], H mult of ROW_TILE."""
     n, h, wc = cb.shape
     assert h % ROW_TILE == 0 and y.shape == (n, h, 2 * wc)
-    t = ROW_TILE
+    t = _pick_tile(wc)
     grid = (n, h // t)
     y2 = _phase_split(y, 1, 2)  # [N, 2, H, Wc]
     cspec = pl.BlockSpec(
@@ -213,7 +222,7 @@ def color_444_batch(y, cb, cr, interpret: bool = False):
     """Full-resolution planes [N, H, W] -> [N, 3, H, W]. H mult of ROW_TILE."""
     n, h, w = y.shape
     assert h % ROW_TILE == 0
-    t = ROW_TILE
+    t = _pick_tile(w)
     grid = (n, h // t)
     spec = pl.BlockSpec(
         (1, t, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM

@@ -128,3 +128,26 @@ def test_fused_pixels_rejects_no_restart_oversize():
     data = make_jpeg(96, 64, seed=9, subsampling=0)
     with pytest.raises(JpegUnsupportedError):
         wp.decode_batch_to_rgb([bitstream.parse(data)])
+
+
+def test_on_device_batch_mixed_sizes_and_modes():
+    """Config-3 shape: mixed geometries bucket into uniform fused
+    launches; no-restart images take the fallback path; everything
+    bit-exact with failures isolated (BASELINE.json:9)."""
+    import tpujpeg
+
+    datas = [
+        make_jpeg(120, 88, seed=1, subsampling=2, restart_blocks=4),
+        make_jpeg(64, 48, seed=2, subsampling=2, restart_blocks=2),
+        make_jpeg(120, 88, seed=3, subsampling=2, restart_blocks=4),
+        make_jpeg(96, 64, seed=4, subsampling=0, restart_blocks=3),
+        b"broken",
+        make_jpeg(64, 48, seed=5, subsampling=2),   # no restart markers
+        make_jpeg(96, 64, seed=6, subsampling=2, mode="L", restart_blocks=2),
+    ]
+    res = tpujpeg.decode_batch_on_device(datas)
+    assert set(res.errors) == {4}
+    for i, d in enumerate(datas):
+        if i == 4:
+            continue
+        np.testing.assert_array_equal(res.images[i], pil_decode(d), err_msg=str(i))

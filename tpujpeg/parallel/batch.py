@@ -79,84 +79,72 @@ def decode_batch_on_device(
     if not valid:
         return BatchResult(images=images, errors=errors, stats=stats)
 
-    # Fully fused path first: ONE kernel does wavefront entropy +
-    # dequant + IDCT, upsample/color kernels finish — coefficients never
-    # exist in HBM. Needs a uniform batch (geometry/tables/quantizers).
-    try:
-        from ..kernels import wavefront_pallas
-
-        rgb, failures = wavefront_pallas.decode_batch_to_rgb(
-            [jpegs[i] for i in valid], config
-        )
-    except JpegError:
-        rgb = None
-    if rgb is not None:
-        frame0 = jpegs[valid[0]].frame
-        for local_i, i in enumerate(valid):
-            if local_i in failures:
-                errors[i] = failures[local_i]
-                continue
-            img = rgb[local_i]
-            images[i] = np.asarray(img) if config.to_numpy else img
-            st = DecodeStats()
-            st.width, st.height = frame0.width, frame0.height
-            st.n_components = frame0.n_components
-            st.entropy_engine = "wavefront-fused"
-            st.transform_engine = "pallas"
-            stats[i] = st
-        return BatchResult(images=images, errors=errors, stats=stats)
-
-    # General fallback: device coefficient decode (block-synchronous
-    # Pallas kernel for uniform batches, XLA wavefront otherwise), then
-    # the bucketed transform below.
-    try:
-        from ..kernels import wavefront_pallas
-
-        coeffs_dev, failures = wavefront_pallas.decode_batch_to_device(
-            [jpegs[i] for i in valid], config, strict=False
-        )
-    except JpegError:
-        coeffs_dev, failures = wavefront.decode_batch_to_device(
-            [jpegs[i] for i in valid], config, strict=False
-        )
-    for local_i, exc in failures.items():
-        errors[valid[local_i]] = exc
-
-    # Device transform stage: one launch per (geometry, quantizer) bucket.
-    buckets: Dict[Tuple, List[Tuple[int, int]]] = {}
-    for local_i, i in enumerate(valid):
-        if local_i in failures:
-            continue
+    # Bucket by (geometry, quantizers): mixed-size shards (config 3,
+    # BASELINE.json:9) become a handful of uniform buckets, each decoded
+    # by the fully fused path — ONE kernel does wavefront entropy +
+    # dequant + IDCT, upsample/color kernels finish; coefficients never
+    # exist in HBM. Buckets the fused path can't take (mixed tables,
+    # oversize segments, no restart markers) fall back to the device
+    # coefficient decode, then the XLA wavefront.
+    buckets: Dict[Tuple, List[int]] = {}
+    for i in valid:
         j = jpegs[i]
         qkey = tuple(
             j.qtables[c.tq].astype(np.int32).tobytes()
             for c in j.frame.components
         )
-        buckets.setdefault((_bucket_key(j.frame), qkey), []).append(
-            (local_i, i)
-        )
+        buckets.setdefault((_bucket_key(j.frame), qkey), []).append(i)
 
-    for (key, _qk), members in buckets.items():
-        frame = jpegs[members[0][1]].frame
+    from ..kernels import wavefront_pallas
+
+    for (_key, _qk), members in buckets.items():
+        sub = [jpegs[i] for i in members]
+        frame = sub[0].frame
         ncomp = frame.n_components
-        coeff_stack = [
-            jnp.stack([coeffs_dev[li][ci] for li, _ in members])
-            for ci in range(ncomp)
-        ]
-        qtabs = [
-            jnp.asarray(jpegs[members[0][1]].qtables[c.tq])
-            for c in frame.components
-        ]
-        out = kernel_pipeline.transform_batch(frame, coeff_stack, qtabs, config)
-        for slot, (_, i) in enumerate(members):
-            img = out[slot]
+
+        def record(i, img):
             images[i] = np.asarray(img) if config.to_numpy else img
             st = DecodeStats()
             st.width, st.height = frame.width, frame.height
             st.n_components = ncomp
-            st.entropy_engine = "wavefront"
+            st.entropy_engine = "wavefront-fused"
             st.transform_engine = "pallas"
             stats[i] = st
+
+        try:
+            rgb, failures = wavefront_pallas.decode_batch_to_rgb(sub, config)
+        except JpegError:
+            rgb = None
+        if rgb is not None:
+            for local_i, i in enumerate(members):
+                if local_i in failures:
+                    errors[i] = failures[local_i]
+                else:
+                    record(i, rgb[local_i])
+            continue
+
+        # Coefficient fallback for this bucket.
+        try:
+            coeffs_dev, failures = wavefront_pallas.decode_batch_to_device(
+                sub, config, strict=False
+            )
+        except JpegError:
+            coeffs_dev, failures = wavefront.decode_batch_to_device(
+                sub, config, strict=False
+            )
+        for local_i, exc in failures.items():
+            errors[members[local_i]] = exc
+        ok = [li for li in range(len(members)) if li not in failures]
+        if not ok:
+            continue
+        coeff_stack = [
+            jnp.stack([coeffs_dev[li][ci] for li in ok])
+            for ci in range(ncomp)
+        ]
+        qtabs = [jnp.asarray(sub[0].qtables[c.tq]) for c in frame.components]
+        out = kernel_pipeline.transform_batch(frame, coeff_stack, qtabs, config)
+        for slot, li in enumerate(ok):
+            record(members[li], out[slot])
 
     return BatchResult(images=images, errors=errors, stats=stats)
 

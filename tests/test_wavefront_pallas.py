@@ -151,3 +151,23 @@ def test_on_device_batch_mixed_sizes_and_modes():
         if i == 4:
             continue
         np.testing.assert_array_equal(res.images[i], pil_decode(d), err_msg=str(i))
+
+
+def test_sharded_fused_decode_over_mesh():
+    """Config-3 at multi-chip scale: a uniform batch sharded over the
+    device mesh, each device running the fused wavefront+IDCT+color
+    program on its chunk under shard_map (SURVEY.md §2.3 DP row)."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    datas = [
+        make_jpeg(64, 48, seed=s, subsampling=2, restart_blocks=2)
+        for s in range(8)
+    ]
+    jpegs = [bitstream.parse(d) for d in datas]
+    rgb, failures = wp.decode_batch_to_rgb_sharded(jpegs)
+    assert not failures
+    host = np.asarray(rgb)
+    for i, d in enumerate(datas):
+        np.testing.assert_array_equal(host[i], pil_decode(d), err_msg=str(i))

@@ -143,6 +143,7 @@ class BlockPlan:
 
 def build_block_plan(
     jpegs: Sequence[bitstream.JpegData],
+    min_words: int = 0,
 ) -> BlockPlan:
     """Uniform-batch plan for the Pallas kernel. Raises
     JpegUnsupportedError when the batch doesn't fit the kernel's scope
@@ -257,6 +258,7 @@ def build_block_plan(
         )
         max_mcus = max(max_mcus, int(nm.max()) if n_seg else 0)
 
+    max_words = max(max_words, min_words)
     if max_words > MAX_WORDS:
         raise JpegUnsupportedError(
             f"pallas wavefront: segment too long ({max_words} words)"
@@ -881,4 +883,107 @@ def decode_batch_to_rgb(
             failures[img] = JpegTruncatedError(
                 f"entropy segment {int(lane)} truncated (image {img})"
             )
+    return rgb, failures
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip: shard a uniform batch's lane groups across a device mesh
+# ---------------------------------------------------------------------------
+
+
+def decode_batch_to_rgb_sharded(
+    jpegs: Sequence[bitstream.JpegData],
+    config: DecodeConfig = DEFAULT_CONFIG,
+    axis: str = "data",
+    mesh=None,
+):
+    """Data-parallel fused decode across a device mesh (config 3 at
+    multi-chip scale, SURVEY.md §2.3 DP row): the image list splits into
+    one contiguous chunk per device, each device runs the SAME fused
+    wavefront+IDCT+color program on its chunk under shard_map, and the
+    result is an [N, H, W(,3)] array sharded on the batch axis.
+
+    Requires a uniform batch and len(jpegs) divisible by the mesh size.
+    Returns (rgb, failures)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from . import pipeline as kernel_pipeline
+
+    if mesh is None:
+        mesh = jax.make_mesh((jax.device_count(),), (axis,))
+    d = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    n = len(jpegs)
+    if n % d != 0:
+        raise JpegUnsupportedError(
+            f"sharded decode needs len(jpegs) % {d} == 0, got {n}"
+        )
+    per = n // d
+    chunks = [jpegs[i * per : (i + 1) * per] for i in range(d)]
+    plans = [build_block_plan(c) for c in chunks]
+    w_max = max(p.n_words for p in plans)
+    plans = [build_block_plan(c, min_words=w_max) for c in chunks]
+    p0 = plans[0]
+    if p0.qtabs is None:
+        raise JpegUnsupportedError("sharded decode needs uniform quantizers")
+    for p in plans[1:]:
+        if (
+            p.bits.shape != p0.bits.shape
+            or p.blk_tables != p0.blk_tables
+            or p.qtabs != p0.qtabs
+            or p.n_mcus != p0.n_mcus
+        ):
+            raise JpegUnsupportedError(
+                "sharded decode needs identical chunk structure"
+            )
+
+    plan_static = (
+        p0.blocks_per_mcu, p0.blk_tables, p0.n_words, p0.n_mcus,
+        "pixels", p0.qtabs,
+    )
+    interpret = jax.default_backend() != "tpu"
+    frame = chunks[0][0].frame
+
+    def local(bits, lane_m, seg_bits):
+        # One device's chunk: [1, ...] shard -> squeeze the device dim.
+        out, err = run_wavefront(
+            bits[0], lane_m[0], seg_bits[0], plan_static, p0.n_groups,
+            interpret,
+        )
+        per_img = assemble_pixels(p0, out, chunks[0])
+        stacked = [
+            jnp.stack([per_img[i][ci] for i in range(per)])
+            for ci in range(frame.n_components)
+        ]
+        rgb = kernel_pipeline.transform_planes_batch(frame, stacked, config)
+        return rgb, err[None]
+
+    fn = jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+    )
+    bits = jnp.asarray(np.stack([p.bits for p in plans]))
+    lane_m = jnp.asarray(np.stack([p.lane_m for p in plans]))
+    seg_bits = jnp.asarray(np.stack([p.seg_bits for p in plans]))
+    rgb, err = fn(bits, lane_m, seg_bits)
+
+    failures: Dict[int, Exception] = {}
+    errs = np.asarray(err)
+    for di in range(d):
+        e = errs[di].reshape(-1)[: plans[di].n_lanes]
+        for lane in np.nonzero(e)[0]:
+            img = di * per + int(plans[di].lane_meta[int(lane)][0])
+            if img not in failures:
+                failures[img] = JpegHuffmanError(
+                    f"decode error in segment {int(lane)} (image {img})"
+                ) if int(e[lane]) & (_ERR_BADCODE | _ERR_RUN) else (
+                    JpegTruncatedError(
+                        f"entropy segment {int(lane)} truncated (image {img})"
+                    )
+                )
     return rgb, failures

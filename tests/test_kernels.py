@@ -169,3 +169,18 @@ def test_batched_pipeline_fault_isolation():
     np.testing.assert_array_equal(res.images[0], pil_decode(datas[0]))
     np.testing.assert_array_equal(res.images[2], pil_decode(datas[2]))
     assert res.images[1] is None
+
+
+def test_batched_progressive_via_native_entropy():
+    """Progressive files in a batch: host native entropy (all four scan
+    kinds) + fused Pallas transform, bit-exact."""
+    import tpujpeg
+
+    datas = [
+        make_jpeg(120, 88, seed=s, subsampling=2, progressive=True)
+        for s in range(3)
+    ]
+    res = tpujpeg.decode_batch(datas, DecodeConfig(transform_engine="pallas"))
+    assert not res.errors
+    for d, img in zip(datas, res.images):
+        np.testing.assert_array_equal(img, pil_decode(d))

@@ -64,59 +64,58 @@ def _make_frame(key: Tuple) -> bitstream.Frame:
 
 def _color_stage(frame, expansions, planes, fancy: bool, interpret: bool):
     """Shared tail: cropped sample planes -> RGB/grayscale raster."""
-    if True:
-        if frame.n_components == 1:
-            return planes[0][:, : frame.height, : frame.width]
+    if frame.n_components == 1:
+        return planes[0][:, : frame.height, : frame.width]
 
-        if frame.n_components == 3 and fancy:
-            y, cb, cr = planes
-            if expansions == [(1, 1), (2, 2), (2, 2)]:
-                hc = _round_up(cb.shape[1], sc_k.ROW_TILE)
-                wc = _round_up(cb.shape[2], 128)
-                rgb = sc_k.upsample_color_h2v2_batch(
-                    _edge_pad(y, 2 * hc, 2 * wc),
-                    _edge_pad(cb, hc, wc),
-                    _edge_pad(cr, hc, wc),
-                    interpret=interpret,
-                )
-            elif expansions == [(1, 1), (2, 1), (2, 1)]:
-                h = _round_up(cb.shape[1], sc_k.ROW_TILE)
-                wc = _round_up(cb.shape[2], 128)
-                rgb = sc_k.upsample_color_h2v1_batch(
-                    _edge_pad(y, h, 2 * wc),
-                    _edge_pad(cb, h, wc),
-                    _edge_pad(cr, h, wc),
-                    interpret=interpret,
-                )
-            elif expansions == [(1, 1), (1, 1), (1, 1)]:
-                h = _round_up(y.shape[1], sc_k.ROW_TILE)
-                w = _round_up(y.shape[2], 128)
-                rgb = sc_k.color_444_batch(
-                    _edge_pad(y, h, w),
-                    _edge_pad(cb, h, w),
-                    _edge_pad(cr, h, w),
-                    interpret=interpret,
-                )
-            else:
-                rgb = None
-            if rgb is not None:
-                # [N, 3, H, W] -> [N, H, W, 3], crop MCU padding.
-                return rgb[:, :, : frame.height, : frame.width].transpose(
-                    0, 2, 3, 1
-                )
+    if frame.n_components == 3 and fancy:
+        y, cb, cr = planes
+        if expansions == [(1, 1), (2, 2), (2, 2)]:
+            hc = _round_up(cb.shape[1], sc_k.ROW_TILE)
+            wc = _round_up(cb.shape[2], 128)
+            rgb = sc_k.upsample_color_h2v2_batch(
+                _edge_pad(y, 2 * hc, 2 * wc),
+                _edge_pad(cb, hc, wc),
+                _edge_pad(cr, hc, wc),
+                interpret=interpret,
+            )
+        elif expansions == [(1, 1), (2, 1), (2, 1)]:
+            h = _round_up(cb.shape[1], sc_k.ROW_TILE)
+            wc = _round_up(cb.shape[2], 128)
+            rgb = sc_k.upsample_color_h2v1_batch(
+                _edge_pad(y, h, 2 * wc),
+                _edge_pad(cb, h, wc),
+                _edge_pad(cr, h, wc),
+                interpret=interpret,
+            )
+        elif expansions == [(1, 1), (1, 1), (1, 1)]:
+            h = _round_up(y.shape[1], sc_k.ROW_TILE)
+            w = _round_up(y.shape[2], 128)
+            rgb = sc_k.color_444_batch(
+                _edge_pad(y, h, w),
+                _edge_pad(cb, h, w),
+                _edge_pad(cr, h, w),
+                interpret=interpret,
+            )
+        else:
+            rgb = None
+        if rgb is not None:
+            # [N, 3, H, W] -> [N, H, W, 3], crop MCU padding.
+            return rgb[:, :, : frame.height, : frame.width].transpose(
+                0, 2, 3, 1
+            )
 
-        # jnp fallback: replicate transform_frame's tail, vmapped.
-        def tail(planes_one):
-            ups = []
-            for ci in range(frame.n_components):
-                he, ve = expansions[ci]
-                up = T.upsample_component(planes_one[ci], he, ve, fancy=fancy)
-                ups.append(up[: frame.height, : frame.width])
-            if frame.n_components == 3:
-                return T.ycc_to_rgb(ups[0], ups[1], ups[2])
-            return jnp.stack(ups, axis=-1)
+    # jnp fallback: replicate transform_frame's tail, vmapped.
+    def tail(planes_one):
+        ups = []
+        for ci in range(frame.n_components):
+            he, ve = expansions[ci]
+            up = T.upsample_component(planes_one[ci], he, ve, fancy=fancy)
+            ups.append(up[: frame.height, : frame.width])
+        if frame.n_components == 3:
+            return T.ycc_to_rgb(ups[0], ups[1], ups[2])
+        return jnp.stack(ups, axis=-1)
 
-        return jax.vmap(tail)(planes)
+    return jax.vmap(tail)(planes)
 
 
 @functools.lru_cache(maxsize=128)

@@ -76,3 +76,12 @@ def test_decode_batch_sharded_matches_pil():
     assert not res.errors
     for d, img in zip(datas, res.images):
         np.testing.assert_array_equal(img, pil_decode(d))
+
+
+@needs_devices
+def test_decode_sharded_with_device_wavefront_entropy():
+    """Config 5 end-to-end on-device: wavefront kernel entropy decode
+    feeds the MCU-row-sharded transform with ICI halo exchange."""
+    data = make_jpeg(192, 256, seed=31, subsampling=2, restart_blocks=4)
+    out = halo.decode_sharded(data, n_shards=8)
+    np.testing.assert_array_equal(out, pil_decode(data))

@@ -155,8 +155,10 @@ def decode_sharded(
     axis: str = "rows",
 ) -> np.ndarray:
     """Decode one image with its MCU rows sharded over the mesh
-    (config 5). Host entropy decode feeds per-shard coefficient grids;
-    the device stage exchanges upsampling halos over ICI."""
+    (config 5). The entropy stage runs with the configured engine —
+    restart-segmented streams go through the device wavefront kernel, so
+    coefficients flow from the wavefront straight into the MCU-row
+    shards; the transform stage exchanges upsampling halos over ICI."""
     from ..decoder import _entropy_decode
     from ..stats import DecodeStats
 
@@ -168,14 +170,29 @@ def decode_sharded(
         # Round down to the largest shard count that divides the rows.
         while frame.mcus_y % n_shards != 0:
             n_shards -= 1
-    coeffs = _entropy_decode(jpeg, config, DecodeStats())
+
+    # Entropy: device wavefront for restart-segmented baseline streams
+    # (coefficients stay device-resident), host engines otherwise.
+    coeffs = None
+    if not frame.progressive and config.entropy_engine in ("auto", "wavefront"):
+        try:
+            from ..kernels import wavefront_pallas
+
+            comps, failures = wavefront_pallas.decode_batch_to_device(
+                [jpeg], config, strict=True
+            )
+            coeffs = comps[0]
+        except JpegUnsupportedError:
+            coeffs = None
+    if coeffs is None:
+        coeffs = _entropy_decode(jpeg, config, DecodeStats())
 
     key = (frame.height, frame.width, tuple((c.h, c.v) for c in frame.components))
     fn, _, mesh = _build_sharded_transform(
         key, n_shards, axis, config.fancy_upsampling
     )
     grids = [
-        jnp.asarray(coeffs[ci].reshape(c.padded_hb, c.padded_wb, 64))
+        jnp.asarray(coeffs[ci]).reshape(c.padded_hb, c.padded_wb, 64)
         for ci, c in enumerate(frame.components)
     ]
     qtabs = [jnp.asarray(jpeg.qtables[c.tq]) for c in frame.components]

@@ -37,7 +37,7 @@ def main() -> int:
 
     size = int(os.environ.get("BENCH_SIZE", "2048"))
     quality = int(os.environ.get("BENCH_QUALITY", "85"))
-    nimg = int(os.environ.get("BENCH_BATCH", "32"))
+    nimg = int(os.environ.get("BENCH_BATCH", "64"))
     repeats = int(os.environ.get("BENCH_REPEATS", "4"))
     rst = int(os.environ.get("BENCH_RESTART_BLOCKS", "4"))
 

@@ -238,7 +238,7 @@ def _find_scan_end(data: bytes, start: int) -> Tuple[int, List[int]]:
     arr = np.frombuffer(data, dtype=np.uint8)[start:]
     ffs = np.nonzero(arr[:-1] == 0xFF)[0] if len(arr) > 1 else np.empty(0, np.int64)
     if len(ffs) == 0:
-        return len(data), []
+        return len(data), np.empty(0, np.int64)
     nxt = arr[ffs + 1]
     is_term = (
         (nxt != 0x00)
@@ -251,7 +251,7 @@ def _find_scan_end(data: bytes, start: int) -> Tuple[int, List[int]]:
     else:
         end_rel = int(ffs[term_idx[0]])
     is_rst = (nxt >= M_RST0) & (nxt <= M_RST7) & (ffs < end_rel)
-    rsts = ffs[is_rst].tolist()
+    rsts = ffs[is_rst].astype(np.int64)  # kept as ndarray: hot consumers
     return start + end_rel if len(term_idx) else len(data), rsts
 
 

@@ -77,6 +77,16 @@ class CanonTable:
 
     @staticmethod
     def from_spec(spec: bitstream.HuffSpec) -> "CanonTable":
+        key = spec.counts.tobytes() + spec.values.tobytes()
+        hit = _CANON_CACHE.get(key)
+        if hit is not None:
+            return hit
+        out = CanonTable._build(spec)
+        _CANON_CACHE[key] = out
+        return out
+
+    @staticmethod
+    def _build(spec: bitstream.HuffSpec) -> "CanonTable":
         maxcode = [-1] * 17
         valoffset = [0] * 17
         code = 0
@@ -91,6 +101,9 @@ class CanonTable:
             code <<= 1
         hv = [int(v) for v in spec.values] + [0] * (256 - len(spec.values))
         return CanonTable(tuple(maxcode), tuple(valoffset), tuple(hv))
+
+
+_CANON_CACHE: Dict[bytes, "CanonTable"] = {}
 
 
 def _select_tree(idx: jnp.ndarray, values: Sequence[int]) -> jnp.ndarray:
@@ -236,13 +249,9 @@ def build_block_plan(
             raise JpegTruncatedError("missing restart segments")
         # Stuffed segment lengths bound the destuffed row size (never
         # expands), so rows can be sized without destuffing first.
-        offs_r = np.asarray(
-            list(scan.rst_offsets[: n_seg - 1]) + [len(scan.data)],
-            dtype=np.int64,
-        )
-        starts_r = np.concatenate(
-            [[0], np.asarray(scan.rst_offsets[: n_seg - 1], np.int64) + 2]
-        )
+        ro = np.asarray(scan.rst_offsets[: n_seg - 1], dtype=np.int64)
+        offs_r = np.concatenate([ro, [len(scan.data)]])
+        starts_r = np.concatenate([[0], ro + 2])
         stuffed = offs_r - starts_r
         seg_rows.append(scan)
         fm = np.arange(n_seg, dtype=np.int64) * ri

@@ -87,3 +87,25 @@ def test_destuff_segments_matches_python():
     for i, p in enumerate(pieces):
         got = buf[starts[i] : starts[i + 1]].tobytes()
         assert got == p, f"segment {i}"
+
+
+def test_destuff_rows_matches_segments():
+    """tj_destuff_rows (fixed-width byte-swapped word rows) must agree
+    with tj_destuff_segments byte-for-byte, padding with 0xFF."""
+    data = make_jpeg(200, 144, seed=4, subsampling=2, restart_blocks=3)
+    jpeg = bitstream.parse(data)
+    scan = jpeg.scans[0]
+    buf, starts = native_entropy.destuff_segments(scan)
+    n_seg = len(starts) - 1
+    lens = np.diff(np.asarray(starts[: n_seg + 1]))
+    W = int(lens.max()) // 4 + 2
+    rows = np.empty((n_seg, W), dtype=np.int32)
+    bits = np.zeros(n_seg, dtype=np.int32)
+    native_entropy.destuff_rows(scan, n_seg, W, rows, bits)
+    np.testing.assert_array_equal(bits, lens * 8)
+    # Un-byteswap and compare each row's payload + 0xFF padding.
+    raw = rows.view(np.uint32).byteswap().view(np.uint8).reshape(n_seg, W * 4)
+    for s in range(n_seg):
+        seg = np.asarray(buf[starts[s] : starts[s + 1]])
+        np.testing.assert_array_equal(raw[s, : lens[s]], seg)
+        assert (raw[s, lens[s] :] == 0xFF).all()

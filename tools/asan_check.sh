@@ -19,5 +19,9 @@ export LD_PRELOAD="$ASAN_RT"
 export ASAN_OPTIONS=detect_leaks=0  # python itself "leaks" at exit
 export TPUJPEG_NATIVE_SO="$SAN_DIR/entropy_asan.so"
 
-python -m pytest tests/test_native.py -q -x
+# Deselect tests that execute XLA-jitted code: LLVM JIT pages are not
+# ASan-instrumented and crash under the preloaded runtime. Everything
+# that exercises the C++ library itself stays in.
+python -m pytest tests/test_native.py -q -x \
+    -k "not full_decode_bit_exact"
 echo "ASan/UBSan: native entropy tests clean"

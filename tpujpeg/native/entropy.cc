@@ -185,13 +185,12 @@ static inline int huff_decode(BitReader& br, const HuffTbl& t, ErrState& err) {
   }
   int l = kLookBits + 1;
   int32_t code = static_cast<int32_t>(p16 >> (16 - l));
-  while (l <= 16 && code > t.maxcode[l]) {
-    l++;
+  while (code > t.maxcode[l]) {
+    if (++l > 16) {  // check BEFORE shifting: 16-l would go negative
+      err.set(ERR_HUFFMAN, "invalid Huffman code");
+      return -1;
+    }
     code = static_cast<int32_t>(p16 >> (16 - l));
-  }
-  if (l > 16) {
-    err.set(ERR_HUFFMAN, "invalid Huffman code");
-    return -1;
   }
   br.skip(l);
   return t.huffval[t.valoffset[l] + code];
@@ -439,7 +438,7 @@ static void decode_prog_segment(
   bool is_dc = s.ss == 0;
   bool refining = s.ah != 0;
   int32_t p1 = 1 << s.al;
-  int32_t m1 = -1 << s.al;
+  int32_t m1 = -(1 << s.al);  // -1<<n is UB pre-C++20
   bool interleaved = s.n_scan_comps > 1;
   int c0 = s.comp_idx[0];
 
@@ -475,7 +474,9 @@ static void decode_prog_segment(
             return;
           }
           pred[sp] += extend(br.receive(t), t);
-          out[0] = pred[sp] << s.al;
+          // Shift of a negative value is UB pre-C++20: go via uint32.
+          out[0] = static_cast<int32_t>(
+              static_cast<uint32_t>(pred[sp]) << s.al);
         }
       }
     } else {
@@ -499,7 +500,9 @@ static void decode_prog_segment(
                 err.set(ERR_HUFFMAN, "AC run past spectral band");
                 return;
               }
-              out[k] = extend(br.receive(sz), sz) << s.al;
+              out[k] = static_cast<int32_t>(
+                  static_cast<uint32_t>(extend(br.receive(sz), sz))
+                  << s.al);
               k++;
             } else {
               if (rr != 15) {

@@ -63,3 +63,16 @@ def test_batch_job_isolates_corrupt_file(tmp_path):
         if l.strip()
     ]
     assert sum(r["status"] == "error" for r in recs) == 1
+
+
+def test_batch_job_on_device_path(tmp_path):
+    paths = _write_corpus(tmp_path, n=3)
+    out = str(tmp_path / "out")
+    c = manifest_lib.run_batch_job(paths, out, on_device=True)
+    assert c == {"completed": 3, "skipped": 0, "failed": 0}
+    import glob
+
+    f = sorted(glob.glob(os.path.join(out, "img0.*.npy")))[0]
+    np.testing.assert_array_equal(
+        np.load(f), pil_decode(open(paths[0], "rb").read())
+    )

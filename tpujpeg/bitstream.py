@@ -189,6 +189,34 @@ class JpegData:
     qtables: Dict[int, np.ndarray]  # id -> int32[64] in zigzag order
     restart_interval: int  # last DRI seen (informational)
     adobe_transform: Optional[int] = None  # APP14 color transform flag
+    saw_jfif: bool = False  # APP0 "JFIF" marker present
+
+
+def color_space(jpeg: "JpegData") -> str:
+    """Decoded color interpretation of the component planes, following
+    libjpeg's jdmaster.c default_decompress_parms selection (JFIF marker
+    beats Adobe APP14 beats component-id heuristics) so output matches
+    PIL/libjpeg byte-for-byte on every marker combination.
+
+    Returns one of 'gray', 'ycbcr', 'rgb', 'cmyk', 'ycck'. For 'cmyk'/
+    'ycck' the decoder emits Adobe-polarity CMYK exactly as PIL does
+    (JpegImagePlugin rawmode 'CMYK;I' — all four channels inverted)."""
+    n = jpeg.frame.n_components
+    if n == 1:
+        return "gray"
+    if n == 3:
+        if jpeg.saw_jfif:
+            return "ycbcr"
+        if jpeg.adobe_transform is not None:
+            return "rgb" if jpeg.adobe_transform == 0 else "ycbcr"
+        cids = [c.cid for c in jpeg.frame.components]
+        if cids == [0x52, 0x47, 0x42]:  # 'R','G','B'
+            return "rgb"
+        return "ycbcr"
+    # 4 components.
+    if jpeg.adobe_transform is not None:
+        return "cmyk" if jpeg.adobe_transform == 0 else "ycck"
+    return "cmyk"
 
 
 class _ByteCursor:
@@ -268,6 +296,7 @@ def parse(data: bytes) -> JpegData:
     frame: Optional[Frame] = None
     scans: List[Scan] = []
     adobe_transform: Optional[int] = None
+    saw_jfif = False
 
     while True:
         # Advance to next marker: skip fill bytes (any number of 0xFF).
@@ -406,6 +435,9 @@ def parse(data: bytes) -> JpegData:
         elif marker == M_DNL:
             raise JpegUnsupportedError("DNL unsupported")
         elif M_APP0 <= marker <= M_APP15 or marker == M_COM:
+            if marker == M_APP0 and length >= 7:
+                if data[cur.pos : cur.pos + 5] == b"JFIF\x00":
+                    saw_jfif = True
             if marker == M_APP0 + 14 and length >= 14:
                 payload = data[cur.pos : seg_end]
                 if payload[:5] == b"Adobe":
@@ -428,6 +460,7 @@ def parse(data: bytes) -> JpegData:
         qtables=qtables,
         restart_interval=restart_interval,
         adobe_transform=adobe_transform,
+        saw_jfif=saw_jfif,
     )
 
 

@@ -19,7 +19,7 @@ import numpy as np
 
 from . import bitstream, huffman, transform
 from .config import DEFAULT_CONFIG, DecodeConfig
-from .errors import JpegError
+from .errors import JpegError, JpegUnsupportedError
 from .stats import DecodeStats
 
 
@@ -84,11 +84,15 @@ def _entropy_decode(
         stats.entropy_engine = "wavefront"
         try:
             # Block-synchronous Pallas kernel when the stream fits its
-            # scope; XLA wavefront otherwise.
+            # scope; XLA wavefront otherwise. Only capability errors
+            # fall back — a genuine data error (bad Huffman code,
+            # truncation) must surface, not be re-decoded by an engine
+            # with a different error taxonomy.
             from .kernels import wavefront_pallas
 
             return wavefront_pallas.decode_all_scans(jpeg, config)
-        except JpegError:
+        except JpegUnsupportedError:
+            stats.entropy_fallbacks += 1
             from .kernels import wavefront
 
             return wavefront.decode_all_scans(jpeg, config)

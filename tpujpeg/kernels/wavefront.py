@@ -311,6 +311,15 @@ def build_batch_plan(jpegs: Sequence[bitstream.JpegData]) -> BatchPlan:
             )
             word_chunks.append(padded.view(">u4").astype(np.uint32))
             bit_base += (nbytes + pad) * 8
+            # Per-lane bit cursors are int32: a merged launch whose
+            # concatenated bitstream reaches 2^31 bits (~256 MB) would
+            # silently overflow and decode garbage. Refuse instead; the
+            # caller chunks the batch or falls back.
+            if bit_base + 64 >= 2**31:
+                raise JpegUnsupportedError(
+                    "xla wavefront: merged bitstream exceeds 2^31 bits; "
+                    "split the batch"
+                )
 
             out_blocks.append(ob.reshape(-1))
             sp_tbl.append(np.asarray(sps, np.int32))
@@ -469,7 +478,11 @@ def _wavefront_decode(
         bad = act & (clen == 0)
 
         run = sym >> 4
-        size = jnp.where(is_dc, sym, sym & 0x0F)
+        # DC magnitude category must be <= 15 (T.81 F.1.2.1.1) — flag
+        # oversize symbols as bad codes (same taxonomy as the native /
+        # Pallas / oracle engines) and clamp so shifts stay defined.
+        bad = bad | (act & is_dc & (sym > 15))
+        size = jnp.where(is_dc, jnp.minimum(sym, 15), sym & 0x0F)
 
         # Magnitude bits follow the code inside the same 32-bit window
         # (code<=16 bits + magnitude<=15 bits): shift the code out, then

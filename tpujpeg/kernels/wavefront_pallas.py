@@ -288,6 +288,7 @@ def build_block_plan(
     try:
         from ..native import entropy as native_entropy
 
+        native_entropy.destuff_rows  # force the lazy lib build early
         lane0 = 0
         for img_i, scan in enumerate(seg_rows):
             n_seg = int(np.sum(lane_meta[:, 0] == img_i))
@@ -297,7 +298,13 @@ def build_block_plan(
                 seg_bits[lane0 : lane0 + n_seg],
             )
             lane0 += n_seg
-    except ImportError:
+    # The native build can fail many ways (no g++: OSError /
+    # CalledProcessError, not just ImportError); the pure-python row
+    # packer below handles all of them. Genuine decode errors (JpegError)
+    # are not build failures and must surface.
+    except JpegSyntaxError:
+        raise
+    except Exception:
         lane0 = 0
         for img_i, scan in enumerate(seg_rows):
             n_seg = int(np.sum(lane_meta[:, 0] == img_i))

@@ -102,12 +102,13 @@ def decode_batch_on_device(
         frame = sub[0].frame
         ncomp = frame.n_components
 
-        def record(i, img):
+        def record(i, img, engine):
             images[i] = np.asarray(img) if config.to_numpy else img
             st = DecodeStats()
             st.width, st.height = frame.width, frame.height
             st.n_components = ncomp
-            st.entropy_engine = "wavefront-fused"
+            st.entropy_engine = engine
+            st.entropy_fallbacks = 0 if engine == "wavefront-fused" else 1
             st.transform_engine = "pallas"
             stats[i] = st
 
@@ -120,7 +121,7 @@ def decode_batch_on_device(
                 if local_i in failures:
                     errors[i] = failures[local_i]
                 else:
-                    record(i, rgb[local_i])
+                    record(i, rgb[local_i], "wavefront-fused")
             continue
 
         # Coefficient fallback for this bucket.
@@ -128,10 +129,12 @@ def decode_batch_on_device(
             coeffs_dev, failures = wavefront_pallas.decode_batch_to_device(
                 sub, config, strict=False
             )
+            engine = "wavefront-pallas-coeff"
         except JpegError:
             coeffs_dev, failures = wavefront.decode_batch_to_device(
                 sub, config, strict=False
             )
+            engine = "wavefront-xla"
         for local_i, exc in failures.items():
             errors[members[local_i]] = exc
         ok = [li for li in range(len(members)) if li not in failures]
@@ -144,7 +147,7 @@ def decode_batch_on_device(
         qtabs = [jnp.asarray(sub[0].qtables[c.tq]) for c in frame.components]
         out = kernel_pipeline.transform_batch(frame, coeff_stack, qtabs, config)
         for slot, li in enumerate(ok):
-            record(members[li], out[slot])
+            record(members[li], out[slot], engine)
 
     return BatchResult(images=images, errors=errors, stats=stats)
 

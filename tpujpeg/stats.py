@@ -21,6 +21,10 @@ class DecodeStats:
     total_blocks: int = 0
     entropy_engine: str = ""
     transform_engine: str = ""
+    # Times a requested fast path was unavailable and a slower engine
+    # took the image (fallback-rate observability: a production corpus
+    # that silently misses the fused path shows up here, not in MP/s).
+    entropy_fallbacks: int = 0
     # Wall-clock seconds per stage, filled by the orchestrator.
     t_parse: float = 0.0
     t_entropy: float = 0.0

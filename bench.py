@@ -107,7 +107,11 @@ def main() -> int:
         out, err = wp.run_wavefront(
             bits, lane_m, seg_bits, plan_static, plan.n_groups, False
         )
-        per_img = wp.assemble_pixels(plan, out, jpegs)
+        per_img = wp.assemble_pixels(
+            (plan.blocks_per_mcu, plan.n_mcus, plan.n_groups),
+            out,
+            tuple(wp.ImageGeom.of(j) for j in jpegs),
+        )
         stacks = [
             jnp.stack([per_img[i][ci] for i in range(nimg)])
             for ci in range(frame.n_components)

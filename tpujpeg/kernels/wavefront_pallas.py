@@ -32,6 +32,7 @@ oversize segments fall back too.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -751,26 +752,45 @@ def decode_all_scans(
 # ---------------------------------------------------------------------------
 
 
+@dataclasses.dataclass(frozen=True)
+class ImageGeom:
+    """The slice of (frame, first-scan) geometry that pixel assembly
+    needs. Deliberately free of the entropy payload so jitted chains can
+    close over it without pinning whole bitstreams in the chain cache."""
+
+    frame: bitstream.Frame
+    interleaved: bool
+    comp_indices: Tuple[int, ...]
+    restart_interval: int
+
+    @classmethod
+    def of(cls, jpeg: bitstream.JpegData) -> "ImageGeom":
+        s = jpeg.scans[0]
+        return cls(
+            jpeg.frame, s.interleaved, tuple(s.comp_indices),
+            s.restart_interval,
+        )
+
+
 def assemble_pixels(
-    plan: BlockPlan, out: jnp.ndarray, jpegs
+    shape: Tuple[int, int, int], out: jnp.ndarray, geoms: Sequence[ImageGeom]
 ) -> List[List[jnp.ndarray]]:
     """[B, G, M, 512, K] uint8 kernel output -> per image, per component
     sample planes [padded_h, padded_w] (device-resident), via static
     reshape/transposes on uint8 (4x less traffic than coefficient
-    assembly)."""
-    frame = jpegs[0].frame
-    scan = jpegs[0].scans[0]
-    B, M = plan.blocks_per_mcu, plan.n_mcus
+    assembly). `shape` = (blocks_per_mcu, n_mcus, n_groups)."""
+    frame = geoms[0].frame
+    scan = geoms[0]
+    B, M, G = shape
     K = LANE_GROUP // SUBLANES
-    G = plan.n_groups
     # dim3 = n*8 + s (pixel n, state sublane s): split, lane-major.
     px = out.reshape(B, G, M, 64, SUBLANES, K).transpose(0, 1, 4, 5, 2, 3)
     px = px.reshape(B, G * LANE_GROUP, M, 64)
 
     results: List[List[jnp.ndarray]] = []
     lane0 = 0
-    for jpeg in jpegs:
-        frame = jpeg.frame
+    for geom in geoms:
+        frame = geom.frame
         if scan.interleaved:
             total_mcus = frame.mcus_x * frame.mcus_y
         else:
@@ -821,34 +841,42 @@ def assemble_pixels(
 # Cache of jitted end-to-end chains (kernel + assembly + color) keyed by
 # every shape/static-relevant property: compiling the WHOLE chain as one
 # XLA program lets the assembly transposes fuse with the kernels' pads
-# and crops (~+30% chip rate vs separate dispatch chains).
-_CHAIN_CACHE: Dict[Tuple, object] = {}
+# and crops (~+30% chip rate vs separate dispatch chains). The cached
+# closures capture only static geometry (ImageGeom), never bitstreams,
+# and the cache is LRU-bounded so pathological shape churn can't grow it
+# without limit.
+_CHAIN_CACHE: "collections.OrderedDict[Tuple, object]" = collections.OrderedDict()
+_CHAIN_CACHE_MAX = 64
 
 
 def _rgb_chain(plan: BlockPlan, jpegs, config, interpret: bool):
     from . import pipeline as kernel_pipeline
 
-    frame = jpegs[0].frame
+    geoms = tuple(ImageGeom.of(j) for j in jpegs)
+    frame = geoms[0].frame
+    shape = (plan.blocks_per_mcu, plan.n_mcus, plan.n_groups)
+    n_images = len(jpegs)
     plan_static = (
         plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus,
         "pixels", plan.qtabs,
     )
     key = (
-        plan_static, plan.n_groups, plan.frame_key, len(jpegs),
-        tuple(int(np.sum(plan.lane_meta[:, 0] == i)) for i in range(len(jpegs))),
+        plan_static, plan.n_groups, plan.frame_key, n_images,
+        tuple(int(np.sum(plan.lane_meta[:, 0] == i)) for i in range(n_images)),
         config.fancy_upsampling, interpret,
     )
     fn = _CHAIN_CACHE.get(key)
     if fn is None:
+        n_groups = plan.n_groups
 
         @jax.jit
         def fn(bits, lane_m, seg_bits):
             out, err = run_wavefront(
-                bits, lane_m, seg_bits, plan_static, plan.n_groups, interpret
+                bits, lane_m, seg_bits, plan_static, n_groups, interpret
             )
-            per = assemble_pixels(plan, out, jpegs)
+            per = assemble_pixels(shape, out, geoms)
             stacked = [
-                jnp.stack([per[i][ci] for i in range(len(jpegs))])
+                jnp.stack([per[i][ci] for i in range(n_images)])
                 for ci in range(frame.n_components)
             ]
             rgb = kernel_pipeline.transform_planes_batch(
@@ -857,6 +885,10 @@ def _rgb_chain(plan: BlockPlan, jpegs, config, interpret: bool):
             return rgb, err
 
         _CHAIN_CACHE[key] = fn
+        while len(_CHAIN_CACHE) > _CHAIN_CACHE_MAX:
+            _CHAIN_CACHE.popitem(last=False)
+    else:
+        _CHAIN_CACHE.move_to_end(key)
     return fn
 
 
@@ -966,7 +998,11 @@ def decode_batch_to_rgb_sharded(
             bits[0], lane_m[0], seg_bits[0], plan_static, p0.n_groups,
             interpret,
         )
-        per_img = assemble_pixels(p0, out, chunks[0])
+        per_img = assemble_pixels(
+            (p0.blocks_per_mcu, p0.n_mcus, p0.n_groups),
+            out,
+            tuple(ImageGeom.of(j) for j in chunks[0]),
+        )
         stacked = [
             jnp.stack([per_img[i][ci] for i in range(per)])
             for ci in range(frame.n_components)

@@ -37,6 +37,11 @@ def _write_output(path: str, arr: np.ndarray) -> None:
         return
     from PIL import Image
 
+    if arr.ndim == 3 and arr.shape[-1] == 4:
+        # Adobe CMYK/YCCK decode output (PIL 'CMYK' convention); PNG et
+        # al. can't hold CMYK, so this needs a .jpg/.tif/.npy target.
+        Image.fromarray(arr, mode="CMYK").save(path)
+        return
     Image.fromarray(arr).save(path)
 
 
@@ -119,6 +124,7 @@ def main(argv=None) -> int:
                 for c in fr.components
             ],
             "mcus": [fr.mcus_x, fr.mcus_y],
+            "color_space": bitstream.color_space(j),
             "scans": len(j.scans),
             "restart_interval": j.restart_interval,
             "segments": sum(len(s.rst_offsets) + 1 for s in j.scans),

@@ -23,12 +23,14 @@ from .errors import JpegError, JpegUnsupportedError
 from .stats import DecodeStats
 
 
-def _geometry_key(frame: bitstream.Frame, fancy: bool, idct: str) -> Tuple:
+def _geometry_key(
+    frame: bitstream.Frame, fancy: bool, idct: str, color: str
+) -> Tuple:
     comps = tuple(
         (c.h, c.v, c.padded_hb, c.padded_wb, c.dheight, c.dwidth)
         for c in frame.components
     )
-    return (frame.height, frame.width, comps, fancy, idct)
+    return (frame.height, frame.width, comps, fancy, idct, color)
 
 
 @functools.lru_cache(maxsize=256)
@@ -37,7 +39,7 @@ def _jit_transform(key: Tuple, frame_repr: str):
     frame object itself can't be a cache key (unhashable/mutable), so the
     caller passes the geometry tuple; we reconstruct a static Frame from
     it."""
-    height, width, comps, fancy, idct = key
+    height, width, comps, fancy, idct, color = key
     frame = bitstream.Frame(
         progressive=False,
         precision=8,
@@ -56,7 +58,9 @@ def _jit_transform(key: Tuple, frame_repr: str):
         assert (c.padded_hb, c.padded_wb, c.dheight, c.dwidth) == (phb, pwb, dh, dw)
 
     def fn(coeffs, qtabs):
-        return transform.transform_frame(frame, coeffs, qtabs, fancy_upsampling=fancy)
+        return transform.transform_frame(
+            frame, coeffs, qtabs, fancy_upsampling=fancy, color=color
+        )
 
     return jax.jit(fn)
 
@@ -128,6 +132,7 @@ def decode(
 
     t0 = time.perf_counter()
     qtabs = [jpeg.qtables[c.tq] for c in frame.components]
+    color = bitstream.color_space(jpeg)
 
     engine = config.transform_engine
     if engine == "auto":
@@ -138,9 +143,11 @@ def decode(
     if engine == "pallas":
         from .kernels import pipeline as kernel_pipeline
 
-        out = kernel_pipeline.transform_frame(frame, coeffs, qtabs, config)
+        out = kernel_pipeline.transform_frame(
+            frame, coeffs, qtabs, config, color=color
+        )
     else:
-        key = _geometry_key(frame, config.fancy_upsampling, config.idct)
+        key = _geometry_key(frame, config.fancy_upsampling, config.idct, color)
         fn = _jit_transform(key, repr(key))
         out = fn(
             [jnp.asarray(c) for c in coeffs], [jnp.asarray(q) for q in qtabs]

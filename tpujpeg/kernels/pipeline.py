@@ -62,12 +62,13 @@ def _make_frame(key: Tuple) -> bitstream.Frame:
     return frame
 
 
-def _color_stage(frame, expansions, planes, fancy: bool, interpret: bool):
-    """Shared tail: cropped sample planes -> RGB/grayscale raster."""
-    if frame.n_components == 1:
+def _color_stage(frame, expansions, planes, fancy: bool, interpret: bool,
+                 color: str):
+    """Shared tail: cropped sample planes -> RGB/gray/CMYK raster."""
+    if color == "gray":
         return planes[0][:, : frame.height, : frame.width]
 
-    if frame.n_components == 3 and fancy:
+    if color == "ycbcr" and frame.n_components == 3 and fancy:
         y, cb, cr = planes
         if expansions == [(1, 1), (2, 2), (2, 2)]:
             hc = _round_up(cb.shape[1], sc_k.ROW_TILE)
@@ -111,15 +112,14 @@ def _color_stage(frame, expansions, planes, fancy: bool, interpret: bool):
             he, ve = expansions[ci]
             up = T.upsample_component(planes_one[ci], he, ve, fancy=fancy)
             ups.append(up[: frame.height, : frame.width])
-        if frame.n_components == 3:
-            return T.ycc_to_rgb(ups[0], ups[1], ups[2])
-        return jnp.stack(ups, axis=-1)
+        return T.finish_color(ups, color)
 
     return jax.vmap(tail)(planes)
 
 
 @functools.lru_cache(maxsize=128)
-def _build_batch(key: Tuple, idct_variant: str, fancy: bool, interpret: bool):
+def _build_batch(key: Tuple, idct_variant: str, fancy: bool, interpret: bool,
+                 color: str):
     """Jitted [N, ...]-batched transform for one frame geometry."""
     frame = _make_frame(key)
     expansions = [
@@ -149,13 +149,13 @@ def _build_batch(key: Tuple, idct_variant: str, fancy: bool, interpret: bool):
                     out_cm[:, : n * nb], n, c.padded_hb, c.padded_wb
                 )
             planes.append(plane[:, : c.dheight, : c.dwidth])
-        return _color_stage(frame, expansions, planes, fancy, interpret)
+        return _color_stage(frame, expansions, planes, fancy, interpret, color)
 
     return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=128)
-def _build_planes_batch(key: Tuple, fancy: bool, interpret: bool):
+def _build_planes_batch(key: Tuple, fancy: bool, interpret: bool, color: str):
     """Jitted color/upsample stage for pre-IDCT'd sample planes
     ([N, padded_h, padded_w] uint8 per component — the fused wavefront
     kernel's output layout)."""
@@ -169,20 +169,23 @@ def _build_planes_batch(key: Tuple, fancy: bool, interpret: bool):
             p[:, : c.dheight, : c.dwidth]
             for p, c in zip(planes_in, frame.components)
         ]
-        return _color_stage(frame, expansions, planes, fancy, interpret)
+        return _color_stage(frame, expansions, planes, fancy, interpret, color)
 
     return jax.jit(fn)
 
 
-def transform_planes_batch(frame, planes, config: DecodeConfig):
+def transform_planes_batch(frame, planes, config: DecodeConfig,
+                           color: str = None):
     """planes[ci]: uint8[N, padded_h, padded_w] sample planes."""
     key = (
         frame.height,
         frame.width,
         tuple((c.h, c.v) for c in frame.components),
     )
+    if color is None:
+        color = T.default_color(frame.n_components)
     interpret = jax.default_backend() != "tpu"
-    fn = _build_planes_batch(key, config.fancy_upsampling, interpret)
+    fn = _build_planes_batch(key, config.fancy_upsampling, interpret, color)
     return fn([jnp.asarray(p) for p in planes])
 
 
@@ -191,16 +194,22 @@ def transform_batch(
     coeffs: Sequence,
     qtabs: Sequence,
     config: DecodeConfig,
+    color: str = None,
 ):
     """coeffs[ci]: int32[N, padded_blocks, 64] zigzag; qtabs[ci]:
-    int32[64]. Returns uint8[N, H, W, 3] (or [N, H, W] grayscale)."""
+    int32[64]. Returns uint8[N, H, W, 3] (or [N, H, W] grayscale,
+    [N, H, W, 4] CMYK)."""
     key = (
         frame.height,
         frame.width,
         tuple((c.h, c.v) for c in frame.components),
     )
+    if color is None:
+        color = T.default_color(frame.n_components)
     interpret = jax.default_backend() != "tpu"
-    fn = _build_batch(key, config.idct, config.fancy_upsampling, interpret)
+    fn = _build_batch(
+        key, config.idct, config.fancy_upsampling, interpret, color
+    )
     return fn(
         [jnp.asarray(c) for c in coeffs], [jnp.asarray(q) for q in qtabs]
     )
@@ -211,8 +220,10 @@ def transform_frame(
     coeffs: Sequence,
     qtabs: Sequence,
     config: DecodeConfig,
+    color: str = None,
 ):
     out = transform_batch(
-        frame, [jnp.asarray(c)[None] for c in coeffs], qtabs, config
+        frame, [jnp.asarray(c)[None] for c in coeffs], qtabs, config,
+        color=color,
     )
     return out[0]

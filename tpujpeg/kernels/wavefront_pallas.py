@@ -854,6 +854,7 @@ def _rgb_chain(plan: BlockPlan, jpegs, config, interpret: bool):
 
     geoms = tuple(ImageGeom.of(j) for j in jpegs)
     frame = geoms[0].frame
+    color = bitstream.color_space(jpegs[0])
     shape = (plan.blocks_per_mcu, plan.n_mcus, plan.n_groups)
     n_images = len(jpegs)
     plan_static = (
@@ -863,7 +864,7 @@ def _rgb_chain(plan: BlockPlan, jpegs, config, interpret: bool):
     key = (
         plan_static, plan.n_groups, plan.frame_key, n_images,
         tuple(int(np.sum(plan.lane_meta[:, 0] == i)) for i in range(n_images)),
-        config.fancy_upsampling, interpret,
+        config.fancy_upsampling, interpret, color,
     )
     fn = _CHAIN_CACHE.get(key)
     if fn is None:
@@ -880,7 +881,7 @@ def _rgb_chain(plan: BlockPlan, jpegs, config, interpret: bool):
                 for ci in range(frame.n_components)
             ]
             rgb = kernel_pipeline.transform_planes_batch(
-                frame, stacked, config
+                frame, stacked, config, color=color
             )
             return rgb, err
 
@@ -1007,7 +1008,9 @@ def decode_batch_to_rgb_sharded(
             jnp.stack([per_img[i][ci] for i in range(per)])
             for ci in range(frame.n_components)
         ]
-        rgb = kernel_pipeline.transform_planes_batch(frame, stacked, config)
+        rgb = kernel_pipeline.transform_planes_batch(
+            frame, stacked, config, color=bitstream.color_space(chunks[0][0])
+        )
         return rgb, err[None]
 
     fn = jax.jit(

@@ -35,11 +35,16 @@ class BatchResult:
     stats: List[Optional[DecodeStats]]
 
 
-def _bucket_key(frame: bitstream.Frame) -> Tuple:
+def _bucket_key(jpeg: bitstream.JpegData) -> Tuple:
+    frame = jpeg.frame
     return (
         frame.height,
         frame.width,
         tuple((c.h, c.v) for c in frame.components),
+        # Color interpretation is marker-driven (JFIF/Adobe APP14), so a
+        # YCbCr and an Adobe-RGB file with identical geometry must not
+        # share a jitted transform.
+        bitstream.color_space(jpeg),
     )
 
 
@@ -93,7 +98,7 @@ def decode_batch_on_device(
             j.qtables[c.tq].astype(np.int32).tobytes()
             for c in j.frame.components
         )
-        buckets.setdefault((_bucket_key(j.frame), qkey), []).append(i)
+        buckets.setdefault((_bucket_key(j), qkey), []).append(i)
 
     from ..kernels import wavefront_pallas
 
@@ -145,7 +150,10 @@ def decode_batch_on_device(
             for ci in range(ncomp)
         ]
         qtabs = [jnp.asarray(sub[0].qtables[c.tq]) for c in frame.components]
-        out = kernel_pipeline.transform_batch(frame, coeff_stack, qtabs, config)
+        out = kernel_pipeline.transform_batch(
+            frame, coeff_stack, qtabs, config,
+            color=bitstream.color_space(sub[0]),
+        )
         for slot, li in enumerate(ok):
             record(members[li], out[slot], engine)
 
@@ -155,7 +163,7 @@ def decode_batch_on_device(
 @functools.lru_cache(maxsize=64)
 def _jit_batched_transform(key: Tuple, n_devices: int, axis: str):
     """One jitted, device-sharded, vmapped transform per geometry bucket."""
-    height, width, hv = key
+    height, width, hv, color = key
     frame = bitstream.Frame(
         progressive=False,
         precision=8,
@@ -169,7 +177,7 @@ def _jit_batched_transform(key: Tuple, n_devices: int, axis: str):
     frame.finalize()
 
     def one(coeffs, qtabs):
-        return transform.transform_frame(frame, coeffs, qtabs)
+        return transform.transform_frame(frame, coeffs, qtabs, color=color)
 
     batched = jax.vmap(one)
     if n_devices <= 1:
@@ -213,7 +221,7 @@ def decode_batch(
         st.width, st.height = jpeg.frame.width, jpeg.frame.height
         st.n_components = jpeg.frame.n_components
         stats[i] = st
-        buckets.setdefault(_bucket_key(jpeg.frame), []).append((i, coeffs, qtabs))
+        buckets.setdefault(_bucket_key(jpeg), []).append((i, coeffs, qtabs))
 
     # Device stage: one launch per bucket.
     use_pallas = config.transform_engine == "pallas"
@@ -228,7 +236,7 @@ def decode_batch(
             from .. import bitstream as _bs
             from ..kernels import pipeline as kernel_pipeline
 
-            height, width, hv = key
+            height, width, hv, color = key
             frame = _bs.Frame(
                 progressive=False, precision=8, height=height, width=width,
                 components=[
@@ -250,7 +258,7 @@ def decode_batch(
                 out = np.asarray(
                     jax.block_until_ready(
                         kernel_pipeline.transform_batch(
-                            frame, coeff_stack, qtabs, config
+                            frame, coeff_stack, qtabs, config, color=color
                         )
                     )
                 )

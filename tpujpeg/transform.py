@@ -244,16 +244,56 @@ def ycc_to_rgb(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def finish_color(planes: Sequence[jnp.ndarray], color: str) -> jnp.ndarray:
+    """Final color interpretation of full-resolution sample planes,
+    matching what PIL/libjpeg emits for each `bitstream.color_space`
+    value (SURVEY.md §2.1 #16; jdcolor.c + PIL rawmode conventions):
+
+      gray   -> [H, W]           the single plane
+      ycbcr  -> [H, W, 3] RGB    jdcolor ycc_rgb fixed point
+      rgb    -> [H, W, 3] RGB    passthrough (Adobe transform=0 / RGB ids)
+      cmyk   -> [H, W, 4] CMYK   inverted planes (PIL rawmode 'CMYK;I')
+      ycck   -> [H, W, 4] CMYK   ycc_rgb on ch0-2 + inverted K: libjpeg
+               ycck_cmyk emits 255-R etc. and PIL's 'CMYK;I' inverts
+               again, so the net per-channel value is exactly ycc_rgb's
+               R/G/B (and 255-K)."""
+    if color == "gray":
+        return planes[0]
+    if color == "ycbcr":
+        return ycc_to_rgb(planes[0], planes[1], planes[2])
+    if color == "rgb":
+        return jnp.stack(planes, axis=-1)
+    if color == "cmyk":
+        inv = 255 - jnp.stack(planes, axis=-1).astype(jnp.int32)
+        return inv.astype(jnp.uint8)
+    if color == "ycck":
+        rgb = ycc_to_rgb(planes[0], planes[1], planes[2])
+        k = (255 - planes[3].astype(jnp.int32)).astype(jnp.uint8)
+        return jnp.concatenate([rgb, k[..., None]], axis=-1)
+    raise ValueError(f"unknown color space {color!r}")
+
+
+def default_color(n_components: int) -> str:
+    """Marker-blind color guess by component count (the pre-APP14
+    behavior); callers with a parsed JpegData should prefer
+    bitstream.color_space."""
+    return {1: "gray", 3: "ycbcr", 4: "cmyk"}[n_components]
+
+
 def transform_frame(
     frame: Frame,
     coeffs: Sequence[jnp.ndarray],
     qtabs_zz: Sequence[jnp.ndarray],
     fancy_upsampling: bool = True,
+    color: Optional[str] = None,
 ) -> jnp.ndarray:
     """coeffs[ci]: int32[padded_hb*padded_wb, 64] zigzag coefficients.
     qtabs_zz[ci]: int32[64] zigzag quantizer for that component.
-    Returns uint8[H, W, 3] (or [H, W] for grayscale). Jit-safe: all
-    shapes are static given the frame geometry."""
+    Returns uint8[H, W, 3] (or [H, W] for grayscale, [H, W, 4] for
+    CMYK/YCCK). Jit-safe: all shapes are static given the frame
+    geometry."""
+    if color is None:
+        color = default_color(frame.n_components)
     planes: List[jnp.ndarray] = []
     for ci, c in enumerate(frame.components):
         deq = dequantize(jnp.asarray(coeffs[ci]), jnp.asarray(qtabs_zz[ci]))
@@ -268,10 +308,4 @@ def transform_frame(
         up = upsample_component(plane, h_expand, v_expand, fancy=fancy_upsampling)
         planes.append(up[: frame.height, : frame.width])
 
-    if frame.n_components == 1:
-        return planes[0]
-    if frame.n_components == 3:
-        return ycc_to_rgb(planes[0], planes[1], planes[2])
-    # 4-component (Adobe CMYK/YCCK): return raw planes stacked; color
-    # management is out of scope for the decode engine core.
-    return jnp.stack(planes, axis=-1)
+    return finish_color(planes, color)

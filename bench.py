@@ -4,16 +4,24 @@ on baseline 4:2:0 JPEG.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "MP/s", "vs_baseline": N, ...}
 
-Methodology. The headline is the chip's sustained FULL-decode rate —
-wavefront Huffman entropy decode of every image's restart segments in
-one launch, then fused Pallas dequant+IDCT+upsample+color — with the
-bitstream staged in HBM and RGB left in HBM (where a TPU training/
-serving consumer reads it), pipelined against the host-side prep rate
-(parse + destuff + plan build), i.e. value = min(chip rate, host prep
-rate) as the two stages overlap in steady state. This excludes this
-rig's localhost TPU relay (~30 MB/s, ~28 ms/dispatch — a harness
-artifact, see CLAUDE.md); relay-bound end-to-end numbers are in
-`detail` for transparency.
+Methodology. The headline is the measured wall clock of the PIPELINED
+decoder in steady state: the device decodes chunk N (one fused XLA
+program: wavefront Huffman entropy + dequant + islow IDCT in a single
+Pallas kernel, then pixel assembly and fused upsample/color — RGB left
+in HBM) while host worker threads run the FULL prep stage (marker
+parse + destuff + wavefront plan build) for the next chunks, exactly as
+tpujpeg.decode_stream pipelines them. No min() accounting: the clock
+starts when the first chunk is dispatched and stops when the last
+chunk's completion readback lands AND every prep job has finished, so
+whichever stage binds, binds the number.
+
+One substitution, documented for transparency: the chunk bitstreams the
+device decodes are staged in HBM before the clock starts. This rig
+reaches its TPU through a localhost relay moving ~33 MB/s (CLAUDE.md) —
+three orders of magnitude under a production host's DMA path — so
+in-loop uploads would measure the relay, not the decoder. Host prep
+runs live inside the clock on fresh, never-before-seen bytes (a second
+corpus with different seeds), one full prep per decoded chunk.
 
 vs_baseline anchors against PIL/libjpeg-turbo single-core full decode
 of the same files on this host (the reference publishes no numbers,
@@ -27,6 +35,7 @@ import json
 import os
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -38,29 +47,40 @@ def main() -> int:
     size = int(os.environ.get("BENCH_SIZE", "2048"))
     quality = int(os.environ.get("BENCH_QUALITY", "85"))
     nimg = int(os.environ.get("BENCH_BATCH", "64"))
-    repeats = int(os.environ.get("BENCH_REPEATS", "4"))
+    nchunks = int(os.environ.get("BENCH_CHUNKS", "3"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     rst = int(os.environ.get("BENCH_RESTART_BLOCKS", "4"))
+    prep_workers = int(os.environ.get("BENCH_PREP_WORKERS", "3"))
 
     # Restart markers every few MCUs: the segment-parallel substrate
     # (BASELINE.json:8 "restart-interval segmented decode"; SURVEY.md
     # §3.4). Fine segments keep wavefront lanes uniform — total work is
     # max_lane_steps x lanes, so balance is throughput. libjpeg decodes
     # the same files for the anchor (markers cost ~1% size).
-    datas = [
-        make_jpeg(size, size, seed=7 + i, quality=quality, subsampling=2,
-                  restart_blocks=rst)
-        for i in range(nimg)
-    ]
+    def corpus(seed0):
+        return [
+            [
+                make_jpeg(size, size, seed=seed0 + c * nimg + i,
+                          quality=quality, subsampling=2, restart_blocks=rst)
+                for i in range(nimg)
+            ]
+            for c in range(nchunks)
+        ]
+
+    chunks_dev = corpus(7)        # decoded on device (staged)
+    chunks_prep = corpus(100007)  # prepped live inside the clock
     mp_per_img = size * size / 1e6
-    total_mp = mp_per_img * nimg
+    chunk_mp = mp_per_img * nimg
+    total_mp = chunk_mp * nchunks
 
     from PIL import Image
 
     # --- Anchor: PIL/libjpeg-turbo single core, full decode. ---
-    for d in datas:
+    flat = [d for ch in chunks_dev for d in ch]
+    for d in flat[:nimg]:
         Image.open(io.BytesIO(d)).load()  # warm
     t0 = time.perf_counter()
-    for d in datas:
+    for d in flat:
         Image.open(io.BytesIO(d)).load()
     anchor = total_mp / (time.perf_counter() - t0)
 
@@ -69,100 +89,102 @@ def main() -> int:
     import tpujpeg
     from tpujpeg import bitstream
     from tpujpeg.config import DecodeConfig
-    from tpujpeg.kernels import pipeline as kernel_pipeline
     from tpujpeg.kernels import wavefront_pallas as wp
 
     cfg = DecodeConfig(transform_engine="pallas")
+    interpret = jax.default_backend() != "tpu"
 
-    # --- Host prep rate: parse + destuff + wavefront plan build
-    # (best of 3: the shared host is noisy). ---
-    jpegs = [bitstream.parse(d) for d in datas]
-    plan = wp.build_block_plan(jpegs)  # warm native lib etc.
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+    def prep(datas):
         jpegs = [bitstream.parse(d) for d in datas]
-        plan = wp.build_block_plan(jpegs)
-        best = min(best, time.perf_counter() - t0)
-    host_prep_mp_s = total_mp / best
+        return wp.build_block_plan(jpegs), jpegs
 
-    # --- Stage plan arrays in HBM (one-time per stream in production;
-    # relay-priced here, excluded from the chip-rate loop). ---
+    # --- Host prep rate alone (one thread, for the detail table). ---
+    prep(chunks_prep[0])  # warm the native lib
     t0 = time.perf_counter()
-    bits_d = jax.device_put(jnp.asarray(plan.bits))
-    lane_m_d = jax.device_put(jnp.asarray(plan.lane_m))
-    seg_bits_d = jax.device_put(jnp.asarray(plan.seg_bits))
-    _ = np.asarray(lane_m_d)[:1]
+    for ch in chunks_prep:
+        prep(ch)
+    host_prep_mp_s = total_mp / (time.perf_counter() - t0)
+
+    # --- Stage device-side chunks in HBM + build the jitted chains
+    # (relay-priced, excluded: see module docstring). ---
+    t0 = time.perf_counter()
+    staged = []
+    for ch in chunks_dev:
+        plan, jpegs = prep(ch)
+        assert plan.qtabs is not None
+        fn = wp._rgb_chain(plan, jpegs, cfg, interpret)
+        bits = jax.device_put(jnp.asarray(plan.bits))
+        lane_m = jax.device_put(jnp.asarray(plan.lane_m))
+        seg_bits = jax.device_put(jnp.asarray(plan.seg_bits))
+        _ = np.asarray(lane_m)[:1]  # force the uploads through
+        staged.append((fn, bits, lane_m, seg_bits, plan))
     upload_s = time.perf_counter() - t0
 
-    frame = jpegs[0].frame
-    assert plan.qtabs is not None
-    plan_static = (
-        plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus,
-        "pixels", plan.qtabs,
-    )
-
-    @jax.jit
-    def _chain(bits, lane_m, seg_bits):
-        out, err = wp.run_wavefront(
-            bits, lane_m, seg_bits, plan_static, plan.n_groups, False
-        )
-        per_img = wp.assemble_pixels(
-            (plan.blocks_per_mcu, plan.n_mcus, plan.n_groups),
-            out,
-            tuple(wp.ImageGeom.of(j) for j in jpegs),
-        )
-        stacks = [
-            jnp.stack([per_img[i][ci] for i in range(nimg)])
-            for ci in range(frame.n_components)
-        ]
-        rgb = kernel_pipeline.transform_planes_batch(frame, stacks, cfg)
-        return rgb, err
-
-    def chip_decode():
-        """Fully fused on-chip decode of the staged batch, compiled as
-        ONE XLA program: wavefront entropy + dequant + islow IDCT in a
-        single Pallas kernel, pixel assembly, fused upsample/color.
-        Coefficients never exist in HBM."""
-        return _chain(bits_d, lane_m_d, seg_bits_d)
-
+    # Warm/compile every chain and verify decode success once.
     # Sync discipline: block_until_ready does not reliably await on the
-    # axon backend (CLAUDE.md) — force a small readback that depends on
-    # the full computation as the sync point.
-    csum = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
-    rgb, err = chip_decode()
-    _ = int(csum(rgb))  # compile + warm, true sync
-    assert not np.asarray(err).reshape(-1)[: plan.n_lanes].any()
+    # axon backend (CLAUDE.md) — a readback that depends on the result
+    # is the sync point throughout.
+    for fn, bits, lane_m, seg_bits, plan in staged:
+        rgb, err = fn(bits, lane_m, seg_bits)
+        errs = np.asarray(err).reshape(-1)[: plan.n_lanes]  # sync
+        assert not errs.any()
 
-    times = []
-    for _ in range(repeats):
+    # --- The measured pipeline: chip decodes staged chunks while the
+    # prep pool chews fresh bytes; depth-2 device window; the last sync
+    # AND the last prep both gate the clock. ---
+    def pipelined_once() -> float:
+        pool = ThreadPoolExecutor(max_workers=prep_workers)
         t0 = time.perf_counter()
-        rgb, err = chip_decode()
-        _ = int(csum(rgb))
-        times.append(time.perf_counter() - t0)
-    chip_mp_s = total_mp / min(times)
+        prep_futs = [pool.submit(prep, ch) for ch in chunks_prep]
+        inflight = []
+        for fn, bits, lane_m, seg_bits, plan in staged:
+            inflight.append((fn(bits, lane_m, seg_bits), plan))
+            if len(inflight) > 2:
+                (rgb, err), pl = inflight.pop(0)
+                assert not np.asarray(err).reshape(-1)[: pl.n_lanes].any()
+        for (rgb, err), pl in inflight:
+            assert not np.asarray(err).reshape(-1)[: pl.n_lanes].any()
+        for f in prep_futs:
+            plan, _ = f.result()
+            assert plan.n_lanes > 0
+        dt = time.perf_counter() - t0
+        pool.shutdown()
+        return dt
 
-    value = min(chip_mp_s, host_prep_mp_s)
+    pipelined_once()  # warm the thread pool path once
+    wall = min(pipelined_once() for _ in range(repeats))
+    value = total_mp / wall
+
+    # --- Chip-only rate (no concurrent prep), for the detail table. ---
+    t0 = time.perf_counter()
+    for fn, bits, lane_m, seg_bits, plan in staged:
+        rgb, err = fn(bits, lane_m, seg_bits)
+    _ = np.asarray(err).reshape(-1)[:1]
+    chip_mp_s = total_mp / (time.perf_counter() - t0)
 
     # --- Correctness: bit-exact vs PIL on one image (full path). ---
+    fn, bits, lane_m, seg_bits, plan = staged[0]
+    rgb, err = fn(bits, lane_m, seg_bits)
     one = np.asarray(rgb[0])
     exact = bool(
-        np.array_equal(one, np.asarray(Image.open(io.BytesIO(datas[0]))))
+        np.array_equal(
+            one, np.asarray(Image.open(io.BytesIO(chunks_dev[0][0])))
+        )
     )
 
     # --- End-to-end through the relay (single image, includes host<->
     # device transfers and readback), for transparency. ---
-    tpujpeg.decode(datas[0], cfg)  # warm
+    tpujpeg.decode(chunks_dev[0][0], cfg)  # warm
     t0 = time.perf_counter()
-    tpujpeg.decode(datas[0], cfg)
+    tpujpeg.decode(chunks_dev[0][0], cfg)
     e2e_mp_s = mp_per_img / (time.perf_counter() - t0)
 
     print(
         json.dumps(
             {
                 "metric": (
-                    f"sustained_onchip_decode_mp_per_s_{size}x{size}"
-                    f"_q{quality}_420_baseline_batch{nimg}"
+                    f"pipelined_decode_mp_per_s_{size}x{size}"
+                    f"_q{quality}_420_baseline_batch{nimg}x{nchunks}"
                 ),
                 "value": round(value, 1),
                 "unit": "MP/s",
@@ -170,17 +192,21 @@ def main() -> int:
                 "detail": {
                     "libjpeg_turbo_1core_mp_per_s": round(anchor, 1),
                     "chip_full_decode_mp_per_s": round(chip_mp_s, 1),
-                    "host_prep_mp_per_s": round(host_prep_mp_s, 1),
+                    "host_prep_1thread_mp_per_s": round(host_prep_mp_s, 1),
+                    "prep_workers": prep_workers,
                     "bit_exact_vs_pil": exact,
                     "e2e_single_image_via_relay_mp_per_s": round(e2e_mp_s, 2),
                     "staged_upload_s": round(upload_s, 3),
-                    "wavefront_lanes": plan.n_lanes,
+                    "wavefront_lanes": staged[0][4].n_lanes * nchunks,
                     "wavefront_kernel": "pallas_block_synchronous_fused_idct",
                     "platform": jax.devices()[0].platform,
                     "notes": (
-                        "value = min(chip full-decode rate, host prep rate):"
-                        " steady-state pipelined wavefront+Pallas decode,"
-                        " RGB resident in HBM; relay-bound e2e in detail"
+                        "value = measured wall clock of the depth-2"
+                        " pipelined stream (device fused decode ||"
+                        " threaded host prep of fresh bytes); bitstreams"
+                        " pre-staged in HBM (localhost relay upload is a"
+                        " harness artifact, see docstring); RGB stays in"
+                        " HBM"
                     ),
                 },
             }

@@ -1,0 +1,87 @@
+"""Pipelined host-prep/device-decode stream (SURVEY.md §2.3 PP row;
+parallel/stream.py). Correctness contract: identical output to PIL and
+to the unpipelined batch path, in-order chunks, per-image fault
+isolation across prep and decode stages."""
+
+import io
+
+import numpy as np
+from PIL import Image
+
+import tpujpeg
+from corpus import make_jpeg
+
+
+def _pil(d):
+    return np.asarray(Image.open(io.BytesIO(d)))
+
+
+def test_stream_bit_exact_and_in_order():
+    datas = [
+        make_jpeg(128, 96, seed=s, subsampling=2, quality=85, restart_blocks=8)
+        for s in range(10)
+    ]
+    seen = []
+    for chunk in tpujpeg.decode_stream(datas, chunk_size=4, depth=2):
+        assert not chunk.failures
+        for k, i in enumerate(chunk.members):
+            assert np.array_equal(np.asarray(chunk.images[k]), _pil(datas[i]))
+        seen.extend(chunk.members)
+    assert seen == list(range(10))
+
+
+def test_stream_fault_isolation():
+    good = make_jpeg(96, 96, seed=1, subsampling=2, restart_blocks=8)
+    datas = [
+        good,
+        b"not a jpeg",          # parse failure in prep stage
+        good[:200],             # truncated: fails in prep or decode
+        good,
+    ]
+    res = tpujpeg.decode_batch_pipelined(datas, chunk_size=2)
+    assert set(res.errors) >= {1}
+    assert res.images[0] is not None and res.images[3] is not None
+    assert np.array_equal(np.asarray(res.images[0]), _pil(good))
+    assert np.array_equal(np.asarray(res.images[3]), _pil(good))
+    for i in res.errors:
+        assert res.images[i] is None
+        assert isinstance(res.errors[i], tpujpeg.JpegError)
+
+
+def test_stream_fallback_chunk():
+    # Progressive images can't take the fused kernel; the chunk must
+    # fall back (engine != wavefront-fused) and still decode bit-exact.
+    datas = [
+        make_jpeg(96, 96, seed=s, subsampling=2, progressive=True)
+        for s in range(3)
+    ]
+    chunks = list(tpujpeg.decode_stream(datas, chunk_size=3))
+    assert len(chunks) == 1
+    ch = chunks[0]
+    assert ch.engine == "fallback"
+    assert not ch.failures
+    for k, i in enumerate(ch.members):
+        assert np.array_equal(np.asarray(ch.images[k]), _pil(datas[i]))
+
+
+def test_stream_matches_batch_on_device():
+    datas = [
+        make_jpeg(160, 128, seed=s, subsampling=0, quality=90, restart_blocks=4)
+        for s in range(6)
+    ]
+    a = tpujpeg.decode_batch_pipelined(datas, chunk_size=3)
+    b = tpujpeg.decode_batch_on_device(datas)
+    assert not a.errors and not b.errors
+    for x, y in zip(a.images, b.images):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_stream_uneven_tail_chunk():
+    datas = [
+        make_jpeg(96, 64, seed=s, subsampling=2, restart_blocks=8)
+        for s in range(5)
+    ]
+    res = tpujpeg.decode_batch_pipelined(datas, chunk_size=2)
+    assert not res.errors
+    for d, img in zip(datas, res.images):
+        assert np.array_equal(np.asarray(img), _pil(d))

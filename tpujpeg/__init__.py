@@ -75,3 +75,19 @@ def decode_batch_on_device(datas, config=DEFAULT_CONFIG):
     from .parallel import batch as _batch
 
     return _batch.decode_batch_on_device(datas, config)
+
+
+def decode_stream(datas, config=DEFAULT_CONFIG, **kw):
+    """Pipelined chunked decode: host prep on worker threads overlapped
+    with fused on-device decode, `depth` chunks in flight (SURVEY.md
+    §2.3 PP row). Yields StreamChunk per chunk_size images, in order."""
+    from .parallel import stream as _stream
+
+    return _stream.decode_stream(datas, config, **kw)
+
+
+def decode_batch_pipelined(datas, config=DEFAULT_CONFIG, **kw):
+    """decode_batch_on_device semantics via the overlapped pipeline."""
+    from .parallel import stream as _stream
+
+    return _stream.decode_batch_pipelined(datas, config, **kw)

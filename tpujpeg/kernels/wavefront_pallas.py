@@ -273,6 +273,12 @@ def build_block_plan(
         raise JpegUnsupportedError(
             f"pallas wavefront: segment too long ({max_words} words)"
         )
+    # Quantize the row width to 64-word buckets: W is the max *stuffed*
+    # segment length, which jitters with image content, and W is a
+    # static shape in the jitted chain — without bucketing, every chunk
+    # of a stream would compile its own program (minutes each through a
+    # remote-compile backend). 64 words = 256 B of VMEM per lane row.
+    max_words = min(-(-max_words // 64) * 64, MAX_WORDS)
 
     lane_meta = np.concatenate(lane_meta, axis=0)
     L = len(lane_meta)
@@ -712,9 +718,26 @@ def decode_batch_to_device(
     )
 
     errs = np.asarray(err).reshape(-1)[: plan.n_lanes]
+    failures = failures_from_err(errs, plan.lane_meta)
+    if strict and failures:
+        raise failures[min(failures)]
+
+    assembled = assemble(plan, out, jpegs)
+    results: List[Optional[List[jnp.ndarray]]] = []
+    for i in range(len(jpegs)):
+        results.append(None if i in failures else assembled[i])
+    return results, failures
+
+
+def failures_from_err(
+    errs: np.ndarray, lane_meta: np.ndarray
+) -> Dict[int, Exception]:
+    """Map the kernel's per-lane error codes to one exception per failed
+    image (first failing lane wins). `errs` must already be trimmed to
+    the real lane count."""
     failures: Dict[int, Exception] = {}
     for lane in np.nonzero(errs)[0]:
-        img = plan.lane_meta[int(lane)][0]
+        img = int(lane_meta[int(lane)][0])
         if img in failures:
             continue
         code = int(errs[lane])
@@ -730,14 +753,7 @@ def decode_batch_to_device(
             failures[img] = JpegTruncatedError(
                 f"entropy segment {int(lane)} truncated (image {img})"
             )
-    if strict and failures:
-        raise failures[min(failures)]
-
-    assembled = assemble(plan, out, jpegs)
-    results: List[Optional[List[jnp.ndarray]]] = []
-    for i in range(len(jpegs)):
-        results.append(None if i in failures else assembled[i])
-    return results, failures
+    return failures
 
 
 def decode_all_scans(
@@ -914,25 +930,7 @@ def decode_batch_to_rgb(
         jnp.asarray(plan.seg_bits),
     )
     errs = np.asarray(err).reshape(-1)[: plan.n_lanes]
-    failures: Dict[int, Exception] = {}
-    for lane in np.nonzero(errs)[0]:
-        img = int(plan.lane_meta[int(lane)][0])
-        if img in failures:
-            continue
-        code = int(errs[lane])
-        if code & _ERR_BADCODE:
-            failures[img] = JpegHuffmanError(
-                f"invalid Huffman code in segment {int(lane)} (image {img})"
-            )
-        elif code & _ERR_RUN:
-            failures[img] = JpegHuffmanError(
-                f"AC run past end of block in segment {int(lane)} (image {img})"
-            )
-        else:
-            failures[img] = JpegTruncatedError(
-                f"entropy segment {int(lane)} truncated (image {img})"
-            )
-    return rgb, failures
+    return rgb, failures_from_err(errs, plan.lane_meta)
 
 
 # ---------------------------------------------------------------------------
@@ -1031,14 +1029,6 @@ def decode_batch_to_rgb_sharded(
     errs = np.asarray(err)
     for di in range(d):
         e = errs[di].reshape(-1)[: plans[di].n_lanes]
-        for lane in np.nonzero(e)[0]:
-            img = di * per + int(plans[di].lane_meta[int(lane)][0])
-            if img not in failures:
-                failures[img] = JpegHuffmanError(
-                    f"decode error in segment {int(lane)} (image {img})"
-                ) if int(e[lane]) & (_ERR_BADCODE | _ERR_RUN) else (
-                    JpegTruncatedError(
-                        f"entropy segment {int(lane)} truncated (image {img})"
-                    )
-                )
+        for img, exc in failures_from_err(e, plans[di].lane_meta).items():
+            failures.setdefault(di * per + img, exc)
     return rgb, failures

@@ -46,7 +46,10 @@ def timed_sharded(data, n_shards, repeats=3):
     jpeg = bitstream.parse(data)
     frame = jpeg.frame
     coeffs = _entropy_decode(jpeg, DecodeConfig(), DecodeStats())
-    key = (frame.height, frame.width, tuple((c.h, c.v) for c in frame.components))
+    key = (
+        frame.height, frame.width,
+        tuple((c.h, c.v) for c in frame.components), 0,
+    )
     fn, _, mesh = halo._build_sharded_transform(key, n_shards, "rows", True)
     from jax.sharding import NamedSharding, PartitionSpec as P
 

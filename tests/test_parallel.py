@@ -38,12 +38,23 @@ def test_decode_sharded_422_and_444():
 
 
 @needs_devices
-def test_decode_sharded_non_divisible_rows_falls_back():
-    # 9 MCU rows: not divisible by 8 -> decode_sharded reduces the shard
-    # count instead of failing.
+def test_decode_sharded_non_divisible_rows_pads():
+    # 9 MCU rows on 8 shards: the row count is padded to 16 so all 8
+    # devices stay in the ring (no silent shard-count decrement), and
+    # the padding never leaks into the cropped output.
     data = make_jpeg(96, 144, seed=23, subsampling=2)
     out = halo.decode_sharded(data, n_shards=8)
     np.testing.assert_array_equal(out, pil_decode(data))
+
+
+def test_decode_sharded_pad_rows_bottom_edge_exact():
+    # The true bottom edge must still upsample with edge replication
+    # when the shard below it is pure padding: heights that end mid-MCU
+    # exercise the dheight clamp + bottom_edge_shard halo fallback.
+    for h in (81, 95, 103):
+        data = make_jpeg(80, h, seed=h, subsampling=2)
+        out = halo.decode_sharded(data, n_shards=4)
+        np.testing.assert_array_equal(out, pil_decode(data))
 
 
 @needs_devices

@@ -48,14 +48,24 @@ def _h2v2_fancy_with_halo(
     return jnp.stack([out_even, out_odd], axis=1).reshape(2 * h, w2).astype(jnp.uint8)
 
 
-def _exchange_halo(plane: jnp.ndarray, axis: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _exchange_halo(
+    plane: jnp.ndarray, axis: str, bottom_edge_shard: Optional[int] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Return (above, below) single-row halos for this shard via ppermute;
     global edge shards fall back to their own edge row (replication),
-    matching the fancy upsampler's edge behavior."""
+    matching the fancy upsampler's edge behavior.
+
+    `bottom_edge_shard` marks the last shard holding REAL image rows when
+    trailing shards are pure MCU-row padding (decode_sharded pads so the
+    shard count divides mcus_y): that shard's bottom row is already the
+    replicated true edge (the in-shard padding `take`), so it must act as
+    the bottom of the image rather than read a halo from padding."""
     n = jax.lax.axis_size(axis)
     idx = jax.lax.axis_index(axis)
     top = plane[:1].astype(jnp.int32)
     bot = plane[-1:].astype(jnp.int32)
+    if bottom_edge_shard is None:
+        bottom_edge_shard = n - 1
     if n == 1:
         return top, bot
     # Shift down: shard i receives shard i-1's bottom row.
@@ -63,7 +73,7 @@ def _exchange_halo(plane: jnp.ndarray, axis: str) -> Tuple[jnp.ndarray, jnp.ndar
     # Shift up: shard i receives shard i+1's top row.
     below = jax.lax.ppermute(top, axis, [(i + 1, i) for i in range(n - 1)])
     above = jnp.where(idx == 0, top, above)
-    below = jnp.where(idx == n - 1, bot, below)
+    below = jnp.where(idx >= bottom_edge_shard, bot, below)
     return above, below
 
 
@@ -80,8 +90,14 @@ def _shard_geometry(frame: bitstream.Frame, n_shards: int) -> int:
 @functools.lru_cache(maxsize=32)
 def _build_sharded_transform(key: Tuple, n_shards: int, axis: str, fancy: bool):
     """Jitted shard_map'd transform for one frame geometry: per-shard
-    coefficient grids in, per-shard RGB rows out, halo rows over ICI."""
-    height, width, hv = key
+    coefficient grids in, per-shard RGB rows out, halo rows over ICI.
+
+    `key` carries `pad_mcu_rows`: extra all-zero MCU rows appended by
+    decode_sharded so n_shards always divides the row count (SURVEY.md
+    §7.1 M5). Shards past the true image emit junk that the final crop
+    discards; the shard holding the true bottom edge acts as the bottom
+    of the halo ring."""
+    height, width, hv, pad_mcu_rows = key
     frame = bitstream.Frame(
         progressive=False,
         precision=8,
@@ -93,7 +109,13 @@ def _build_sharded_transform(key: Tuple, n_shards: int, axis: str, fancy: bool):
         ],
     )
     frame.finalize()
-    mcu_rows_local = _shard_geometry(frame, n_shards)
+    mcus_y_tot = frame.mcus_y + pad_mcu_rows
+    if mcus_y_tot % n_shards != 0:
+        raise JpegUnsupportedError(
+            f"mcus_y={frame.mcus_y}+{pad_mcu_rows} pad not divisible by "
+            f"{n_shards} shards"
+        )
+    mcu_rows_local = mcus_y_tot // n_shards
 
     def local_transform(coeffs: Sequence[jnp.ndarray], qtabs: Sequence[jnp.ndarray]):
         """Runs per shard under shard_map. coeffs[ci]:
@@ -122,7 +144,8 @@ def _build_sharded_transform(key: Tuple, n_shards: int, axis: str, fancy: bool):
             h_expand = frame.hmax // c.h
             v_expand = frame.vmax // c.v
             if v_expand == 2 and h_expand == 2 and fancy:
-                above, below = _exchange_halo(plane, axis)
+                bottom_edge = (c.dheight - 1) // local_h
+                above, below = _exchange_halo(plane, axis, bottom_edge)
                 plane = _h2v2_fancy_with_halo(plane, above, below)
             elif v_expand == 1 and h_expand == 2 and fancy:
                 plane = transform.upsample_h2v1_fancy(plane)
@@ -166,10 +189,11 @@ def decode_sharded(
         n_shards = jax.device_count()
     jpeg = bitstream.parse(data)
     frame = jpeg.frame
-    if frame.mcus_y % n_shards != 0:
-        # Round down to the largest shard count that divides the rows.
-        while frame.mcus_y % n_shards != 0:
-            n_shards -= 1
+    # Pad the MCU-row count up to a multiple of n_shards with all-zero
+    # rows (SURVEY.md §7.1 M5): every device stays in the ring — a
+    # 17-MCU-row image on 8 devices runs 8 shards of 3 rows, not 1 shard
+    # of 17. Padding shards' output never survives the final crop.
+    pad_mcu_rows = (-frame.mcus_y) % n_shards
 
     # Entropy: device wavefront for restart-segmented baseline streams
     # (coefficients stay device-resident), host engines otherwise.
@@ -187,14 +211,20 @@ def decode_sharded(
     if coeffs is None:
         coeffs = _entropy_decode(jpeg, config, DecodeStats())
 
-    key = (frame.height, frame.width, tuple((c.h, c.v) for c in frame.components))
+    key = (
+        frame.height, frame.width,
+        tuple((c.h, c.v) for c in frame.components), pad_mcu_rows,
+    )
     fn, _, mesh = _build_sharded_transform(
         key, n_shards, axis, config.fancy_upsampling
     )
-    grids = [
-        jnp.asarray(coeffs[ci]).reshape(c.padded_hb, c.padded_wb, 64)
-        for ci, c in enumerate(frame.components)
-    ]
+    grids = []
+    for ci, c in enumerate(frame.components):
+        # jnp.pad keeps wavefront-produced coefficients device-resident.
+        g = jnp.asarray(coeffs[ci]).reshape(c.padded_hb, c.padded_wb, 64)
+        if pad_mcu_rows:
+            g = jnp.pad(g, ((0, pad_mcu_rows * c.v), (0, 0), (0, 0)))
+        grids.append(g)
     qtabs = [jnp.asarray(jpeg.qtables[c.tq]) for c in frame.components]
     out = jax.block_until_ready(fn(grids, qtabs))
     return np.asarray(out)[: frame.height, : frame.width]

@@ -111,21 +111,22 @@ def main() -> int:
     staged = []
     for ch in chunks_dev:
         plan, jpegs = prep(ch)
-        assert plan.qtabs is not None
+        assert plan.qsets
         fn = wp._rgb_chain(plan, jpegs, cfg, interpret)
         bits = jax.device_put(jnp.asarray(plan.bits))
         lane_m = jax.device_put(jnp.asarray(plan.lane_m))
         seg_bits = jax.device_put(jnp.asarray(plan.seg_bits))
+        lane_q = jax.device_put(jnp.asarray(plan.lane_qset))
         _ = np.asarray(lane_m)[:1]  # force the uploads through
-        staged.append((fn, bits, lane_m, seg_bits, plan))
+        staged.append((fn, bits, lane_m, seg_bits, lane_q, plan))
     upload_s = time.perf_counter() - t0
 
     # Warm/compile every chain and verify decode success once.
     # Sync discipline: block_until_ready does not reliably await on the
     # axon backend (CLAUDE.md) — a readback that depends on the result
     # is the sync point throughout.
-    for fn, bits, lane_m, seg_bits, plan in staged:
-        rgb, err = fn(bits, lane_m, seg_bits)
+    for fn, bits, lane_m, seg_bits, lane_q, plan in staged:
+        rgb, err = fn(bits, lane_m, seg_bits, lane_q)
         errs = np.asarray(err).reshape(-1)[: plan.n_lanes]  # sync
         assert not errs.any()
 
@@ -137,8 +138,8 @@ def main() -> int:
         t0 = time.perf_counter()
         prep_futs = [pool.submit(prep, ch) for ch in chunks_prep]
         inflight = []
-        for fn, bits, lane_m, seg_bits, plan in staged:
-            inflight.append((fn(bits, lane_m, seg_bits), plan))
+        for fn, bits, lane_m, seg_bits, lane_q, plan in staged:
+            inflight.append((fn(bits, lane_m, seg_bits, lane_q), plan))
             if len(inflight) > 2:
                 (rgb, err), pl = inflight.pop(0)
                 assert not np.asarray(err).reshape(-1)[: pl.n_lanes].any()
@@ -157,14 +158,14 @@ def main() -> int:
 
     # --- Chip-only rate (no concurrent prep), for the detail table. ---
     t0 = time.perf_counter()
-    for fn, bits, lane_m, seg_bits, plan in staged:
-        rgb, err = fn(bits, lane_m, seg_bits)
+    for fn, bits, lane_m, seg_bits, lane_q, plan in staged:
+        rgb, err = fn(bits, lane_m, seg_bits, lane_q)
     _ = np.asarray(err).reshape(-1)[:1]
     chip_mp_s = total_mp / (time.perf_counter() - t0)
 
     # --- Correctness: bit-exact vs PIL on one image (full path). ---
-    fn, bits, lane_m, seg_bits, plan = staged[0]
-    rgb, err = fn(bits, lane_m, seg_bits)
+    fn, bits, lane_m, seg_bits, lane_q, plan = staged[0]
+    rgb, err = fn(bits, lane_m, seg_bits, lane_q)
     one = np.asarray(rgb[0])
     exact = bool(
         np.array_equal(
@@ -197,7 +198,7 @@ def main() -> int:
                     "bit_exact_vs_pil": exact,
                     "e2e_single_image_via_relay_mp_per_s": round(e2e_mp_s, 2),
                     "staged_upload_s": round(upload_s, 3),
-                    "wavefront_lanes": staged[0][4].n_lanes * nchunks,
+                    "wavefront_lanes": staged[0][5].n_lanes * nchunks,
                     "wavefront_kernel": "pallas_block_synchronous_fused_idct",
                     "platform": jax.devices()[0].platform,
                     "notes": (

@@ -171,3 +171,60 @@ def test_sharded_fused_decode_over_mesh():
     host = np.asarray(rgb)
     for i, d in enumerate(datas):
         np.testing.assert_array_equal(host[i], pil_decode(d), err_msg=str(i))
+
+
+def test_fused_pixels_mixed_restart_intervals():
+    """Images with different DRIs share one fused launch: the kernel's
+    lanes carry per-lane MCU counts, and assembly slices each image to
+    its own rows-per-lane (round-2 kernel-scope widening)."""
+    datas = [
+        make_jpeg(120, 88, seed=1, subsampling=2, restart_blocks=4),
+        make_jpeg(120, 88, seed=2, subsampling=2, restart_blocks=2),
+        make_jpeg(120, 88, seed=3, subsampling=2, restart_blocks=7),
+    ]
+    jpegs = [bitstream.parse(d) for d in datas]
+    ris = {j.scans[0].restart_interval for j in jpegs}
+    assert len(ris) == 3, ris
+    rgb, failures = wp.decode_batch_to_rgb(jpegs)
+    assert not failures
+    for i, d in enumerate(datas):
+        np.testing.assert_array_equal(np.asarray(rgb[i]), pil_decode(d))
+    # Coefficient mode too.
+    got, failures = wp.decode_batch_to_device(jpegs, strict=False)
+    assert not failures
+    from tpujpeg import huffman as hf
+    for jpeg, comps in zip(jpegs, got):
+        ref = hf.decode_all_scans(jpeg)
+        for a, b in zip(ref, comps):
+            np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_fused_pixels_mixed_quantizers():
+    """A q85/q92 pair shares one fused launch: the kernel selects each
+    lane's dequant constants by one-hot over the batch's quantizer sets
+    instead of requiring identical tables."""
+    datas = [
+        make_jpeg(120, 88, seed=1, subsampling=2, quality=85, restart_blocks=4),
+        make_jpeg(120, 88, seed=2, subsampling=2, quality=92, restart_blocks=4),
+        make_jpeg(120, 88, seed=3, subsampling=2, quality=85, restart_blocks=4),
+    ]
+    jpegs = [bitstream.parse(d) for d in datas]
+    plan = wp.build_block_plan(jpegs)
+    assert len(plan.qsets) == 2
+    assert plan.img_qset == (0, 1, 0)
+    rgb, failures = wp.decode_batch_to_rgb(jpegs)
+    assert not failures
+    for i, d in enumerate(datas):
+        np.testing.assert_array_equal(np.asarray(rgb[i]), pil_decode(d))
+
+
+def test_fused_pixels_mixed_quantizers_and_intervals():
+    datas = [
+        make_jpeg(96, 80, seed=1, subsampling=0, quality=70, restart_blocks=2),
+        make_jpeg(96, 80, seed=2, subsampling=0, quality=95, restart_blocks=3),
+    ]
+    jpegs = [bitstream.parse(d) for d in datas]
+    rgb, failures = wp.decode_batch_to_rgb(jpegs)
+    assert not failures
+    for i, d in enumerate(datas):
+        np.testing.assert_array_equal(np.asarray(rgb[i]), pil_decode(d))

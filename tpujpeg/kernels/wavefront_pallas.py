@@ -56,6 +56,7 @@ from . import wavefront as wf_xla
 LANE_GROUP = 2048          # lanes per kernel grid group
 SUBLANES = 8
 MAX_WORDS = 512            # per-lane bitstream words cap (VMEM)
+MAX_QSETS = 8              # distinct quantizer sets one fused launch takes
 
 _ERR_BADCODE = 1
 _ERR_RUN = 2
@@ -150,9 +151,16 @@ class BlockPlan:
     lane_meta: np.ndarray   # int32[L, 3]: (img, first_mcu, n_mcus)
     n_lanes: int
     images: int
-    # Static zigzag quantizer per block position (None when images
-    # disagree -> fused-IDCT pixels mode unavailable).
+    # Static zigzag quantizer per block position of the FIRST quantizer
+    # set (kept for single-set callers/back-compat; None only when the
+    # batch has more than MAX_QSETS distinct sets).
     qtabs: Optional[Tuple[Tuple[int, ...], ...]] = None
+    # All distinct quantizer sets in the batch + each image's index into
+    # them: the pixels-mode kernel selects dequant constants per lane by
+    # one-hot over qsets, so a q85/q86 pair shares one fused launch.
+    qsets: Tuple[Tuple[Tuple[int, ...], ...], ...] = ()
+    img_qset: Tuple[int, ...] = ()
+    lane_qset: Optional[np.ndarray] = None  # int32[G, 8, K]
 
 
 def build_block_plan(
@@ -175,7 +183,8 @@ def build_block_plan(
     blk_tables: Optional[Tuple] = None
     max_words = 0
     max_mcus = 0
-    ri0: Optional[int] = None
+    qset_index: Dict[Tuple, int] = {}
+    img_qset: List[int] = []
 
     for img_i, jpeg in enumerate(jpegs):
         frame = jpeg.frame
@@ -228,23 +237,19 @@ def build_block_plan(
             tuple(int(x) for x in jpeg.qtables[frame.components[ci].tq])
             for ci, _d, _a in tables
         )
-        if img_i == 0:
-            qtabs0: Optional[Tuple] = q_t
-        elif qtabs0 != q_t:
-            qtabs0 = None  # mixed quantizers: no fused-IDCT mode
+        if q_t not in qset_index:
+            qset_index[q_t] = len(qset_index)
+        img_qset.append(qset_index[q_t])
 
         if scan.interleaved:
             total_mcus = frame.mcus_x * frame.mcus_y
         else:
             c0 = frame.components[scan.comp_indices[0]]
             total_mcus = c0.width_blocks * c0.height_blocks
+        # Per-image restart intervals are fine: the kernel's lanes carry
+        # their own MCU counts and predictors, and assembly slices each
+        # image's lanes to its own rows-per-lane before flattening.
         ri = scan.restart_interval or total_mcus
-        if ri0 is None:
-            ri0 = ri
-        elif ri != ri0:
-            # assemble() relies on every lane covering exactly `ri` MCUs
-            # (last lane short), so mixed intervals fall back.
-            raise JpegUnsupportedError("pallas wavefront: mixed restart intervals")
         n_seg = -(-total_mcus // ri)
         if len(scan.rst_offsets) + 1 < n_seg:
             raise JpegTruncatedError("missing restart segments")
@@ -333,6 +338,10 @@ def build_block_plan(
     lm = np.zeros(G * LANE_GROUP, np.int32)
     lm[:L] = lane_meta[:, 2]
 
+    qsets = tuple(qset_index)  # insertion-ordered: index s -> qset s
+    lq = np.zeros(G * LANE_GROUP, np.int32)
+    lq[:L] = np.asarray(img_qset, np.int32)[lane_meta[:, 0]]
+
     return BlockPlan(
         bits=bits,
         seg_bits=sb.reshape(G, SUBLANES, K),
@@ -346,7 +355,10 @@ def build_block_plan(
         lane_meta=lane_meta,
         n_lanes=L,
         images=len(jpegs),
-        qtabs=qtabs0,
+        qtabs=qsets[0] if len(qsets) == 1 else None,
+        qsets=qsets if len(qsets) <= MAX_QSETS else (),
+        img_qset=tuple(img_qset),
+        lane_qset=lq.reshape(G, SUBLANES, K),
     )
 
 
@@ -357,14 +369,17 @@ def build_block_plan(
 
 def _make_kernel(plan_static):
     """Build the kernel function for one static config. plan_static =
-    (B, blk_tables, W, n_mcus, emit, qtabs): emit='coeff' writes zigzag
+    (B, blk_tables, W, n_mcus, emit, qsets): emit='coeff' writes zigzag
     coefficient blocks; emit='pixels' fuses dequant + islow IDCT +
     level-shift into the epilogue (the completed block's coefficients
     are already in registers, so the butterflies are nearly free and
     the int32 coefficient round-trip through HBM disappears) and writes
-    uint8 samples. qtabs[b] is the static zigzag quantizer of block
-    position b's component (pixels mode only)."""
-    B, blk_tables, W, n_mcus, emit, qtabs = plan_static
+    uint8 samples. qsets (pixels mode only) is the tuple of distinct
+    static quantizer sets in the batch; each lane picks its set via a
+    one-hot over its lane_qset index, so mixed-quantizer batches still
+    share one fused launch (a single set degenerates to bare
+    constants)."""
+    B, blk_tables, W, n_mcus, emit, qsets = plan_static
     K = LANE_GROUP // SUBLANES
 
     def window64(bits, cur):
@@ -429,11 +444,17 @@ def _make_kernel(plan_static):
             mag,
         )
 
-    def kernel(lane_m_ref, bits_ref, out_ref, err_ref, cur_ref, end_ref,
-               pred_ref, err_acc_ref):
+    def kernel(lane_m_ref, bits_ref, lane_q_ref, out_ref, err_ref,
+               cur_ref, end_ref, pred_ref, err_acc_ref):
         m = pl.program_id(1)
         bits = bits_ref[0]          # [W, 8, K]
         lane_m = lane_m_ref[0]      # [8, K]
+        nq = len(qsets) if emit == "pixels" else 0
+        if nq > 1:
+            lane_q = lane_q_ref[0]  # [8, K] quantizer-set index per lane
+            qsel = [
+                (lane_q == s).astype(jnp.int32) for s in range(nq)
+            ]
 
         @pl.when(m == 0)
         def _init():
@@ -516,11 +537,18 @@ def _make_kernel(plan_static):
                 from .. import transform as T
                 from ..bitstream import NATURAL_TO_ZIGZAG
 
-                deq = [
-                    acc[int(NATURAL_TO_ZIGZAG[n])]
-                    * qtabs[b][int(NATURAL_TO_ZIGZAG[n])]
-                    for n in range(64)
-                ]
+                deq = []
+                for n in range(64):
+                    zz = int(NATURAL_TO_ZIGZAG[n])
+                    if nq == 1:
+                        deq.append(acc[zz] * qsets[0][b][zz])
+                    else:
+                        # Per-lane quantizer: one-hot select over the
+                        # batch's distinct sets (all static constants).
+                        qv = qsel[0] * qsets[0][b][zz]
+                        for s in range(1, nq):
+                            qv = qv + qsel[s] * qsets[s][b][zz]
+                        deq.append(acc[zz] * qv)
                 grp = [
                     jnp.stack(deq[i * 8 : (i + 1) * 8], axis=0)
                     for i in range(8)
@@ -554,20 +582,23 @@ def _make_kernel(plan_static):
     jax.jit, static_argnames=("plan_static", "n_groups", "interpret")
 )
 def run_wavefront(
-    bits, lane_m, seg_bits, plan_static, n_groups: int, interpret: bool
+    bits, lane_m, seg_bits, plan_static, n_groups: int, interpret: bool,
+    lane_qset=None,
 ):
-    B, blk_tables, W, n_mcus, emit, qtabs = plan_static
+    B, blk_tables, W, n_mcus, emit, qsets = plan_static
     K = LANE_GROUP // SUBLANES
     base = _make_kernel(plan_static)
     # Device-side layout change: [G, 8, K, W] host order -> the
     # kernel's word-major [G, W, 8, K].
     bits = jnp.transpose(bits, (0, 3, 1, 2))
+    if lane_qset is None:
+        lane_qset = jnp.zeros((n_groups, SUBLANES, K), jnp.int32)
 
-    def kernel(lane_m_ref, bits_ref, end_ref, out_ref, err_ref,
-               cur_ref, pred_ref, err_acc_ref):
+    def kernel(lane_m_ref, bits_ref, end_ref, lane_q_ref, out_ref,
+               err_ref, cur_ref, pred_ref, err_acc_ref):
         base(
-            lane_m_ref, bits_ref, out_ref, err_ref, cur_ref, end_ref,
-            pred_ref, err_acc_ref,
+            lane_m_ref, bits_ref, lane_q_ref, out_ref, err_ref, cur_ref,
+            end_ref, pred_ref, err_acc_ref,
         )
 
     grid = (n_groups, n_mcus)
@@ -581,6 +612,10 @@ def run_wavefront(
             ),
             pl.BlockSpec(
                 (1, W, SUBLANES, K), lambda g, m: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, SUBLANES, K), lambda g, m: (g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -621,7 +656,7 @@ def run_wavefront(
             pltpu.VMEM((SUBLANES, K), jnp.int32),      # error flags
         ],
         interpret=interpret,
-    )(lane_m, bits, seg_bits)
+    )(lane_m, bits, seg_bits, lane_qset)
     return out, err
 
 
@@ -634,9 +669,9 @@ def assemble(plan: BlockPlan, out: jnp.ndarray, jpegs) -> List[List[jnp.ndarray]
     """[G, M, B, 64, 8, K] -> per image, per component [nb, 64] zigzag
     coefficient arrays (device-resident), via static transposes only.
 
-    Requires each image's segment count to tile the MCU raster evenly
-    (true whenever DRI divides the MCU row length or equals it) and all
-    lanes to carry the same MCU count; otherwise callers fall back."""
+    Each image's lanes are sliced to that image's own MCUs-per-lane
+    (its restart interval) before flattening, so images with different
+    restart intervals coexist in one launch (SURVEY.md §3.5)."""
     frame = jpegs[0].frame
     B = plan.blocks_per_mcu
     M = plan.n_mcus
@@ -649,20 +684,21 @@ def assemble(plan: BlockPlan, out: jnp.ndarray, jpegs) -> List[List[jnp.ndarray]
 
     results: List[List[jnp.ndarray]] = []
     lane0 = 0
-    scan = jpegs[0].scans[0]
-    interleaved = scan.interleaved
     for img_i, jpeg in enumerate(jpegs):
         frame = jpeg.frame
+        scan = jpeg.scans[0]
+        interleaved = scan.interleaved
         if interleaved:
             total_mcus = frame.mcus_x * frame.mcus_y
         else:
             c0 = frame.components[scan.comp_indices[0]]
             total_mcus = c0.width_blocks * c0.height_blocks
-        nseg = -(-total_mcus // (scan.restart_interval or total_mcus))
-        lanes = flat[lane0 : lane0 + nseg]  # [nseg, M, B, 64]
+        rows = min(scan.restart_interval or total_mcus, total_mcus)
+        nseg = -(-total_mcus // rows)
+        lanes = flat[lane0 : lane0 + nseg, :rows]  # [nseg, rows, B, 64]
         lane0 += nseg
         # MCU-linear coefficient stream for this image.
-        mcus = lanes.reshape(nseg * M, B, 64)[:total_mcus]
+        mcus = lanes.reshape(nseg * rows, B, 64)[:total_mcus]
 
         by_ci: Dict[int, jnp.ndarray] = {}
         b0 = 0
@@ -794,9 +830,9 @@ def assemble_pixels(
     """[B, G, M, 512, K] uint8 kernel output -> per image, per component
     sample planes [padded_h, padded_w] (device-resident), via static
     reshape/transposes on uint8 (4x less traffic than coefficient
-    assembly). `shape` = (blocks_per_mcu, n_mcus, n_groups)."""
-    frame = geoms[0].frame
-    scan = geoms[0]
+    assembly). `shape` = (blocks_per_mcu, n_mcus, n_groups). Per-image
+    restart intervals are honored by slicing each image's lanes to its
+    own MCUs-per-lane before flattening."""
     B, M, G = shape
     K = LANE_GROUP // SUBLANES
     # dim3 = n*8 + s (pixel n, state sublane s): split, lane-major.
@@ -807,15 +843,17 @@ def assemble_pixels(
     lane0 = 0
     for geom in geoms:
         frame = geom.frame
+        scan = geom
         if scan.interleaved:
             total_mcus = frame.mcus_x * frame.mcus_y
         else:
             c0 = frame.components[scan.comp_indices[0]]
             total_mcus = c0.width_blocks * c0.height_blocks
-        nseg = -(-total_mcus // (scan.restart_interval or total_mcus))
-        sub = px[:, lane0 : lane0 + nseg].reshape(B, nseg * M, 64)[
-            :, :total_mcus
-        ]
+        rows = min(scan.restart_interval or total_mcus, total_mcus)
+        nseg = -(-total_mcus // rows)
+        sub = px[:, lane0 : lane0 + nseg, :rows].reshape(
+            B, nseg * rows, 64
+        )[:, :total_mcus]
         lane0 += nseg
 
         if scan.interleaved:
@@ -875,11 +913,17 @@ def _rgb_chain(plan: BlockPlan, jpegs, config, interpret: bool):
     n_images = len(jpegs)
     plan_static = (
         plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus,
-        "pixels", plan.qtabs,
+        "pixels", plan.qsets,
     )
     key = (
         plan_static, plan.n_groups, plan.frame_key, n_images,
-        tuple(int(np.sum(plan.lane_meta[:, 0] == i)) for i in range(n_images)),
+        # Per-image scan geometry: lane counts alone can collide for
+        # different restart intervals (ceil(T/ri) is not injective).
+        tuple(
+            (g.interleaved, g.comp_indices, g.restart_interval)
+            for g in geoms
+        ),
+        plan.img_qset,
         config.fancy_upsampling, interpret, color,
     )
     fn = _CHAIN_CACHE.get(key)
@@ -887,9 +931,10 @@ def _rgb_chain(plan: BlockPlan, jpegs, config, interpret: bool):
         n_groups = plan.n_groups
 
         @jax.jit
-        def fn(bits, lane_m, seg_bits):
+        def fn(bits, lane_m, seg_bits, lane_qset):
             out, err = run_wavefront(
-                bits, lane_m, seg_bits, plan_static, n_groups, interpret
+                bits, lane_m, seg_bits, plan_static, n_groups, interpret,
+                lane_qset,
             )
             per = assemble_pixels(shape, out, geoms)
             stacked = [
@@ -918,9 +963,10 @@ def decode_batch_to_rgb(
     HBM, coefficients never materialized. Returns ([N, H, W, 3] or
     [N, H, W] device array, failures)."""
     plan = build_block_plan(jpegs)
-    if plan.qtabs is None:
+    if not plan.qsets:
         raise JpegUnsupportedError(
-            "fused pixels mode needs identical quantizers across the batch"
+            f"fused pixels mode takes at most {MAX_QSETS} distinct "
+            "quantizer sets per batch"
         )
     interpret = jax.default_backend() != "tpu"
     fn = _rgb_chain(plan, jpegs, config, interpret)
@@ -928,6 +974,7 @@ def decode_batch_to_rgb(
         jnp.asarray(plan.bits),
         jnp.asarray(plan.lane_m),
         jnp.asarray(plan.seg_bits),
+        jnp.asarray(plan.lane_qset),
     )
     errs = np.asarray(err).reshape(-1)[: plan.n_lanes]
     return rgb, failures_from_err(errs, plan.lane_meta)
@@ -971,13 +1018,14 @@ def decode_batch_to_rgb_sharded(
     w_max = max(p.n_words for p in plans)
     plans = [build_block_plan(c, min_words=w_max) for c in chunks]
     p0 = plans[0]
-    if p0.qtabs is None:
-        raise JpegUnsupportedError("sharded decode needs uniform quantizers")
+    if not p0.qsets:
+        raise JpegUnsupportedError("sharded decode: too many quantizer sets")
     for p in plans[1:]:
         if (
             p.bits.shape != p0.bits.shape
             or p.blk_tables != p0.blk_tables
-            or p.qtabs != p0.qtabs
+            or p.qsets != p0.qsets
+            or p.img_qset != p0.img_qset
             or p.n_mcus != p0.n_mcus
         ):
             raise JpegUnsupportedError(
@@ -986,16 +1034,16 @@ def decode_batch_to_rgb_sharded(
 
     plan_static = (
         p0.blocks_per_mcu, p0.blk_tables, p0.n_words, p0.n_mcus,
-        "pixels", p0.qtabs,
+        "pixels", p0.qsets,
     )
     interpret = jax.default_backend() != "tpu"
     frame = chunks[0][0].frame
 
-    def local(bits, lane_m, seg_bits):
+    def local(bits, lane_m, seg_bits, lane_qset):
         # One device's chunk: [1, ...] shard -> squeeze the device dim.
         out, err = run_wavefront(
             bits[0], lane_m[0], seg_bits[0], plan_static, p0.n_groups,
-            interpret,
+            interpret, lane_qset[0],
         )
         per_img = assemble_pixels(
             (p0.blocks_per_mcu, p0.n_mcus, p0.n_groups),
@@ -1015,7 +1063,7 @@ def decode_batch_to_rgb_sharded(
         shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis)),
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
             out_specs=(P(axis), P(axis)),
             check_vma=False,
         )
@@ -1023,7 +1071,8 @@ def decode_batch_to_rgb_sharded(
     bits = jnp.asarray(np.stack([p.bits for p in plans]))
     lane_m = jnp.asarray(np.stack([p.lane_m for p in plans]))
     seg_bits = jnp.asarray(np.stack([p.seg_bits for p in plans]))
-    rgb, err = fn(bits, lane_m, seg_bits)
+    lane_qset = jnp.asarray(np.stack([p.lane_qset for p in plans]))
+    rgb, err = fn(bits, lane_m, seg_bits, lane_qset)
 
     failures: Dict[int, Exception] = {}
     errs = np.asarray(err)

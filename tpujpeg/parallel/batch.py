@@ -84,25 +84,21 @@ def decode_batch_on_device(
     if not valid:
         return BatchResult(images=images, errors=errors, stats=stats)
 
-    # Bucket by (geometry, quantizers): mixed-size shards (config 3,
-    # BASELINE.json:9) become a handful of uniform buckets, each decoded
-    # by the fully fused path — ONE kernel does wavefront entropy +
-    # dequant + IDCT, upsample/color kernels finish; coefficients never
-    # exist in HBM. Buckets the fused path can't take (mixed tables,
-    # oversize segments, no restart markers) fall back to the device
-    # coefficient decode, then the XLA wavefront.
+    # Bucket by geometry + color space only: the fused kernel takes
+    # mixed quantizers (per-lane one-hot dequant, up to MAX_QSETS sets)
+    # and mixed restart intervals, so a q85/q86 pair shares ONE launch —
+    # wavefront entropy + dequant + IDCT in one kernel, upsample/color
+    # kernels finish; coefficients never exist in HBM. Buckets the fused
+    # path can't take (mixed Huffman tables, oversize segments, no
+    # restart markers) fall back to the device coefficient decode, then
+    # the XLA wavefront.
     buckets: Dict[Tuple, List[int]] = {}
     for i in valid:
-        j = jpegs[i]
-        qkey = tuple(
-            j.qtables[c.tq].astype(np.int32).tobytes()
-            for c in j.frame.components
-        )
-        buckets.setdefault((_bucket_key(j), qkey), []).append(i)
+        buckets.setdefault(_bucket_key(jpegs[i]), []).append(i)
 
     from ..kernels import wavefront_pallas
 
-    for (_key, _qk), members in buckets.items():
+    for _key, members in buckets.items():
         sub = [jpegs[i] for i in members]
         frame = sub[0].frame
         ncomp = frame.n_components
@@ -145,17 +141,30 @@ def decode_batch_on_device(
         ok = [li for li in range(len(members)) if li not in failures]
         if not ok:
             continue
-        coeff_stack = [
-            jnp.stack([coeffs_dev[li][ci] for li in ok])
-            for ci in range(ncomp)
-        ]
-        qtabs = [jnp.asarray(sub[0].qtables[c.tq]) for c in frame.components]
-        out = kernel_pipeline.transform_batch(
-            frame, coeff_stack, qtabs, config,
-            color=bitstream.color_space(sub[0]),
-        )
-        for slot, li in enumerate(ok):
-            record(members[li], out[slot], engine)
+        # transform_batch takes one quantizer per component, so the
+        # coefficient fallback sub-buckets by quantizer identity.
+        by_q: Dict[Tuple, List[int]] = {}
+        for li in ok:
+            qkey = tuple(
+                sub[li].qtables[c.tq].astype(np.int32).tobytes()
+                for c in frame.components
+            )
+            by_q.setdefault(qkey, []).append(li)
+        for q_members in by_q.values():
+            coeff_stack = [
+                jnp.stack([coeffs_dev[li][ci] for li in q_members])
+                for ci in range(ncomp)
+            ]
+            qtabs = [
+                jnp.asarray(sub[q_members[0]].qtables[c.tq])
+                for c in frame.components
+            ]
+            out = kernel_pipeline.transform_batch(
+                frame, coeff_stack, qtabs, config,
+                color=bitstream.color_space(sub[q_members[0]]),
+            )
+            for slot, li in enumerate(q_members):
+                record(members[li], out[slot], engine)
 
     return BatchResult(images=images, errors=errors, stats=stats)
 

@@ -87,8 +87,8 @@ def _prep(datas: Sequence[bytes], members: List[int]) -> _Unit:
         if any(j.frame.progressive for j in jpegs):
             raise JpegUnsupportedError("progressive: host entropy path")
         plan = wp.build_block_plan(jpegs)
-        if plan.qtabs is None:
-            raise JpegUnsupportedError("mixed quantizers: no fused path")
+        if not plan.qsets:
+            raise JpegUnsupportedError("too many quantizer sets: no fused path")
     except JpegUnsupportedError:
         return _Unit(ok, jpegs, None, failures, [datas[i] for i in ok])
     except JpegError as e:
@@ -122,6 +122,7 @@ def _submit(unit: _Unit, config: DecodeConfig) -> _InFlight:
         jnp.asarray(unit.plan.bits),
         jnp.asarray(unit.plan.lane_m),
         jnp.asarray(unit.plan.seg_bits),
+        jnp.asarray(unit.plan.lane_qset),
     )
     return _InFlight(unit, rgb, err)
 

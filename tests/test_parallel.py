@@ -96,3 +96,44 @@ def test_decode_sharded_with_device_wavefront_entropy():
     data = make_jpeg(192, 256, seed=31, subsampling=2, restart_blocks=4)
     out = halo.decode_sharded(data, n_shards=8)
     np.testing.assert_array_equal(out, pil_decode(data))
+
+
+@needs_devices
+def test_norst_sharded_entropy_with_dc_fixup():
+    """A marker-free stream decodes via device entropy sharded over the
+    mesh; the cross-shard DC-predictor base MUST travel through
+    halo.dc_prefix_fixup (its first real caller — VERDICT round 1 #6)."""
+    from tpujpeg.kernels import wavefront_pallas as wp
+
+    data = make_jpeg(320, 256, seed=31, subsampling=2)  # no restarts
+    jpeg = __import__("tpujpeg").bitstream.parse(data)
+    assert not jpeg.scans[0].rst_offsets
+
+    calls = []
+    orig = halo.dc_prefix_fixup
+
+    def spy(local_totals, axis):
+        calls.append(axis)
+        return orig(local_totals, axis)
+
+    halo.dc_prefix_fixup = spy
+    try:
+        comps = wp.decode_norst_sharded(jpeg)
+    finally:
+        halo.dc_prefix_fixup = orig
+    assert calls, "dc_prefix_fixup was not invoked"
+
+    from tpujpeg import huffman
+    ref = huffman.decode_all_scans(jpeg)
+    for a, b in zip(ref, comps):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
+@needs_devices
+def test_decode_sharded_no_restart_full_image():
+    """decode_sharded end-to-end on a marker-free 4:2:0 image: entropy
+    sharded by lanes (skeleton scan + DC fixup), transform sharded by
+    MCU rows with the halo exchange — bit-exact vs PIL."""
+    data = make_jpeg(160, 128, seed=37, subsampling=2)
+    out = halo.decode_sharded(data, n_shards=8)
+    np.testing.assert_array_equal(out, pil_decode(data))

@@ -228,3 +228,55 @@ def test_fused_pixels_mixed_quantizers_and_intervals():
     assert not failures
     for i, d in enumerate(datas):
         np.testing.assert_array_equal(np.asarray(rgb[i]), pil_decode(d))
+
+
+def test_norst_device_decode_matches_oracle():
+    """Marker-free 512x512 stream (way beyond one VMEM row): skeleton
+    scan splits it into lanes, kernel decodes with local predictors,
+    exclusive-prefix DC fixup recovers the true coefficients."""
+    data = make_jpeg(512, 512, seed=5, subsampling=2)
+    jpeg = bitstream.parse(data)
+    assert len(jpeg.scans[0].rst_offsets) == 0
+    from tpujpeg import huffman
+
+    ref = huffman.decode_all_scans(jpeg)
+    comps = wp.decode_norst_to_device(jpeg)
+    for ci, (a, b) in enumerate(zip(ref, comps)):
+        np.testing.assert_array_equal(a, np.asarray(b), err_msg=f"comp {ci}")
+
+
+def test_norst_device_decode_gray_and_444():
+    from tpujpeg import huffman
+
+    for kw in (dict(mode="L"), dict(subsampling=0)):
+        data = make_jpeg(256, 192, seed=6, **kw)
+        jpeg = bitstream.parse(data)
+        ref = huffman.decode_all_scans(jpeg)
+        comps = wp.decode_norst_to_device(jpeg)
+        for a, b in zip(ref, comps):
+            np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_norst_full_decode_via_wavefront_engine():
+    """decode(entropy='wavefront') on a no-restart stream routes through
+    the skeleton-scan device path and matches PIL byte-for-byte."""
+    import tpujpeg
+    from tpujpeg.config import DecodeConfig
+
+    data = make_jpeg(256, 256, seed=7, subsampling=2)
+    img, st = tpujpeg.decode(
+        data, DecodeConfig(entropy_engine="wavefront"), return_stats=True
+    )
+    assert st.entropy_engine == "wavefront"
+    np.testing.assert_array_equal(np.asarray(img), pil_decode(data))
+
+
+def test_norst_truncated_stream_raises():
+    from tpujpeg.errors import JpegError
+
+    data = make_jpeg(256, 256, seed=8, subsampling=2)
+    jpeg = bitstream.parse(data)
+    scan = jpeg.scans[0]
+    scan.data = scan.data[: len(scan.data) // 2]
+    with pytest.raises(JpegError):
+        wp.decode_norst_to_device(jpeg)

@@ -161,6 +161,10 @@ class BlockPlan:
     qsets: Tuple[Tuple[Tuple[int, ...], ...], ...] = ()
     img_qset: Tuple[int, ...] = ()
     lane_qset: Optional[np.ndarray] = None  # int32[G, 8, K]
+    # No-restart plans only: starting bit of each lane within its word
+    # row (lanes split at skeleton-scan bit offsets), and MCUs per lane.
+    bit0: Optional[np.ndarray] = None  # int32[G, 8, K]
+    norst_every: int = 0
 
 
 def build_block_plan(
@@ -444,8 +448,8 @@ def _make_kernel(plan_static):
             mag,
         )
 
-    def kernel(lane_m_ref, bits_ref, lane_q_ref, out_ref, err_ref,
-               cur_ref, end_ref, pred_ref, err_acc_ref):
+    def kernel(lane_m_ref, bits_ref, lane_q_ref, bit0_ref, out_ref,
+               err_ref, cur_ref, end_ref, pred_ref, err_acc_ref):
         m = pl.program_id(1)
         bits = bits_ref[0]          # [W, 8, K]
         lane_m = lane_m_ref[0]      # [8, K]
@@ -458,7 +462,11 @@ def _make_kernel(plan_static):
 
         @pl.when(m == 0)
         def _init():
-            cur_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+            # bit0: starting bit within the lane's word row — zero for
+            # restart segments (rows start at marker boundaries), the
+            # sub-word offset for no-restart streams split at arbitrary
+            # skeleton-scan bit positions.
+            cur_ref[:] = bit0_ref[0]
             pred_ref[:] = jnp.zeros((4, SUBLANES, K), jnp.int32)
             err_acc_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
 
@@ -583,7 +591,7 @@ def _make_kernel(plan_static):
 )
 def run_wavefront(
     bits, lane_m, seg_bits, plan_static, n_groups: int, interpret: bool,
-    lane_qset=None,
+    lane_qset=None, bit0=None,
 ):
     B, blk_tables, W, n_mcus, emit, qsets = plan_static
     K = LANE_GROUP // SUBLANES
@@ -593,12 +601,14 @@ def run_wavefront(
     bits = jnp.transpose(bits, (0, 3, 1, 2))
     if lane_qset is None:
         lane_qset = jnp.zeros((n_groups, SUBLANES, K), jnp.int32)
+    if bit0 is None:
+        bit0 = jnp.zeros((n_groups, SUBLANES, K), jnp.int32)
 
-    def kernel(lane_m_ref, bits_ref, end_ref, lane_q_ref, out_ref,
-               err_ref, cur_ref, pred_ref, err_acc_ref):
+    def kernel(lane_m_ref, bits_ref, end_ref, lane_q_ref, bit0_ref,
+               out_ref, err_ref, cur_ref, pred_ref, err_acc_ref):
         base(
-            lane_m_ref, bits_ref, lane_q_ref, out_ref, err_ref, cur_ref,
-            end_ref, pred_ref, err_acc_ref,
+            lane_m_ref, bits_ref, lane_q_ref, bit0_ref, out_ref, err_ref,
+            cur_ref, end_ref, pred_ref, err_acc_ref,
         )
 
     grid = (n_groups, n_mcus)
@@ -612,6 +622,10 @@ def run_wavefront(
             ),
             pl.BlockSpec(
                 (1, W, SUBLANES, K), lambda g, m: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, SUBLANES, K), lambda g, m: (g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -656,7 +670,7 @@ def run_wavefront(
             pltpu.VMEM((SUBLANES, K), jnp.int32),      # error flags
         ],
         interpret=interpret,
-    )(lane_m, bits, seg_bits, lane_qset)
+    )(lane_m, bits, seg_bits, lane_qset, bit0)
     return out, err
 
 
@@ -795,8 +809,23 @@ def failures_from_err(
 def decode_all_scans(
     jpeg: bitstream.JpegData, config: DecodeConfig = DEFAULT_CONFIG
 ) -> List[np.ndarray]:
-    comps, _ = decode_batch_to_device([jpeg], config, strict=True)
-    return [np.asarray(c) for c in comps[0]]
+    try:
+        comps, _ = decode_batch_to_device([jpeg], config, strict=True)
+        return [np.asarray(c) for c in comps[0]]
+    except JpegUnsupportedError:
+        # Marker-free stream too long for one VMEM row lane: split it
+        # with the host skeleton scan and decode the pieces as lanes.
+        scan = jpeg.scans[0] if jpeg.scans else None
+        if (
+            scan is not None
+            and not jpeg.frame.progressive
+            and len(jpeg.scans) == 1
+            and len(scan.rst_offsets) == 0
+        ):
+            return [
+                np.asarray(c) for c in decode_norst_to_device(jpeg, config)
+            ]
+        raise
 
 
 # ---------------------------------------------------------------------------
@@ -981,8 +1010,434 @@ def decode_batch_to_rgb(
 
 
 # ---------------------------------------------------------------------------
-# Multi-chip: shard a uniform batch's lane groups across a device mesh
+# No-restart streams on device (SURVEY.md §5 long-context item 3/4;
+# BASELINE.json:5 "DC-predictor state via ICI collectives")
+#
+# A marker-free baseline scan is one serial Huffman chain. A fast host
+# skeleton scan (native tj_scan_split: symbol lengths only, no stores)
+# records the bit offset of every k-th MCU; the kernel then decodes
+# those segments as ordinary wavefront lanes starting at arbitrary bit
+# offsets with LOCAL DC predictors (starting at 0), and the true DCs are
+# recovered afterwards by an exclusive prefix sum of per-lane DC totals
+# — on one chip as a jnp.cumsum, across shards via halo.dc_prefix_fixup.
 # ---------------------------------------------------------------------------
+
+
+def _scan_split_host(jpeg, scan, every: int):
+    """Skeleton scan via the native library, pure-python fallback.
+    Returns (destuffed uint8 array, int64 bit offsets [n_lanes+1])."""
+    from ..errors import JpegError as _JE
+
+    try:
+        from ..native import entropy as ne
+
+        ne.destuff_rows  # force the lazy build; failures fall through
+        return ne.scan_split(jpeg, scan, every)
+    except _JE:
+        raise
+    except Exception:
+        pass
+
+    from .. import huffman as hf
+
+    dest = bitstream.split_restart_segments(scan)[0]
+    tbls = hf.build_tables(scan.huff)
+    frame = jpeg.frame
+    if scan.interleaved:
+        total = frame.mcus_x * frame.mcus_y
+        sps: List[int] = []
+        for p, ci in enumerate(scan.comp_indices):
+            c = frame.components[ci]
+            sps += [p] * (c.h * c.v)
+    else:
+        c0 = frame.components[scan.comp_indices[0]]
+        total = c0.width_blocks * c0.height_blocks
+        sps = [0]
+    dcs = [tbls[(0, scan.dc_ids[p])] for p in range(scan.n_comps)]
+    acs = [tbls[(1, scan.ac_ids[p])] for p in range(scan.n_comps)]
+    r = hf.BitReader(bytes(dest))
+    offs = []
+    for m in range(total):
+        if m % every == 0:
+            offs.append(r.pos * 8 + r.pad_bits - r.cnt)
+        for sp in sps:
+            t = hf.decode_symbol(r, dcs[sp])
+            if t > 15:
+                raise JpegHuffmanError("bad DC size")
+            r.receive(t)
+            k = 1
+            while k < 64:
+                rs = hf.decode_symbol(r, acs[sp])
+                run, size = rs >> 4, rs & 15
+                if size == 0:
+                    if run == 15:
+                        k += 16
+                        continue
+                    break
+                k += run
+                if k > 63:
+                    raise JpegHuffmanError("AC run past end of block")
+                r.receive(size)
+                k += 1
+    offs.append(r.pos * 8 + r.pad_bits - r.cnt)
+    if r.overrun():
+        raise JpegTruncatedError("entropy stream truncated")
+    return np.frombuffer(bytes(dest), np.uint8), np.asarray(offs, np.int64)
+
+
+def build_norst_plan(
+    jpeg: bitstream.JpegData, every: int = 0
+) -> BlockPlan:
+    """Plan a single no-restart baseline scan as wavefront lanes split
+    at skeleton-scan bit offsets. Lanes start mid-word (plan.bit0) and
+    carry local predictors; callers must run the DC prefix fixup."""
+    frame = jpeg.frame
+    if frame.progressive:
+        raise JpegUnsupportedError("pallas wavefront: baseline only")
+    if len(jpeg.scans) != 1:
+        raise JpegUnsupportedError("pallas wavefront: one scan only")
+    scan = jpeg.scans[0]
+    if len(scan.rst_offsets):
+        raise JpegUnsupportedError("stream has restart markers: use build_block_plan")
+    if not scan.interleaved and frame.n_components != 1:
+        raise JpegUnsupportedError(
+            "pallas wavefront: non-interleaved multi-component scan"
+        )
+
+    if scan.interleaved:
+        total_mcus = frame.mcus_x * frame.mcus_y
+    else:
+        c0 = frame.components[scan.comp_indices[0]]
+        total_mcus = c0.width_blocks * c0.height_blocks
+    if total_mcus <= 0:
+        raise JpegUnsupportedError("empty scan")
+
+    avg_bits = max(1, len(scan.data) * 8 // total_mcus)
+    if every <= 0:
+        # Target roughly half the VMEM row per lane so content skew has
+        # headroom; clamp so tiny images still split into >= 2 lanes.
+        every = max(1, (MAX_WORDS * 32 // 2) // avg_bits)
+
+    dest = offs = None
+    W = MAX_WORDS + 1
+    for _ in range(4):
+        dest, offs = _scan_split_host(jpeg, scan, every)
+        start_words = (offs[:-1] >> 5).astype(np.int64)
+        end_rel = offs[1:] - (start_words << 5)
+        W = int(-(-int(end_rel.max()) // 32)) + 1
+        W = min(-(-W // 64) * 64, MAX_WORDS + 64)
+        if W <= MAX_WORDS or every == 1:
+            break
+        every = max(1, every // 2)
+    if W > MAX_WORDS:
+        raise JpegUnsupportedError(
+            "no-restart stream: a split segment exceeds the VMEM row cap"
+        )
+
+    L = len(offs) - 1
+    G = -(-L // LANE_GROUP)
+    K = LANE_GROUP // SUBLANES
+
+    start_byte = (start_words * 4).astype(np.int64)
+    idx = start_byte[:, None] + np.arange(W * 4, dtype=np.int64)[None, :]
+    rows = np.where(
+        idx < len(dest), dest[np.minimum(idx, max(len(dest) - 1, 0))], 0xFF
+    ).astype(np.uint8)
+    rows_full = np.full((G * LANE_GROUP, W * 4), 0xFF, np.uint8)
+    rows_full[:L] = rows
+    bits = (
+        np.ascontiguousarray(rows_full)
+        .view(">u4")
+        .astype(np.uint32)
+        .view(np.int32)
+        .reshape(G, SUBLANES, K, W)
+    )
+
+    seg_bits = np.zeros(G * LANE_GROUP, np.int32)
+    seg_bits[:L] = end_rel.astype(np.int32)
+    bit0 = np.zeros(G * LANE_GROUP, np.int32)
+    bit0[:L] = (offs[:-1] - (start_words << 5)).astype(np.int32)
+
+    fm = np.arange(L, dtype=np.int64) * every
+    nm = np.minimum(every, total_mcus - fm).astype(np.int32)
+    lane_meta = np.stack(
+        [np.zeros(L, np.int32), fm.astype(np.int32), nm], axis=1
+    )
+    lm = np.zeros(G * LANE_GROUP, np.int32)
+    lm[:L] = nm
+
+    # Tables / quantizers: same construction as build_block_plan.
+    tables: List[Tuple[int, CanonTable, CanonTable]] = []
+    if scan.interleaved:
+        for sp, ci in enumerate(scan.comp_indices):
+            c = frame.components[ci]
+            dk, ak = (0, scan.dc_ids[sp]), (1, scan.ac_ids[sp])
+            if dk not in scan.huff or ak not in scan.huff:
+                raise JpegSyntaxError("missing Huffman table")
+            dct = CanonTable.from_spec(scan.huff[dk])
+            act = CanonTable.from_spec(scan.huff[ak])
+            for _v in range(c.v):
+                for _h in range(c.h):
+                    tables.append((ci, dct, act))
+    else:
+        dk, ak = (0, scan.dc_ids[0]), (1, scan.ac_ids[0])
+        if dk not in scan.huff or ak not in scan.huff:
+            raise JpegSyntaxError("missing Huffman table")
+        tables.append(
+            (
+                scan.comp_indices[0],
+                CanonTable.from_spec(scan.huff[dk]),
+                CanonTable.from_spec(scan.huff[ak]),
+            )
+        )
+    q_t = tuple(
+        tuple(int(x) for x in jpeg.qtables[frame.components[ci].tq])
+        for ci, _d, _a in tables
+    )
+
+    return BlockPlan(
+        bits=bits,
+        seg_bits=seg_bits.reshape(G, SUBLANES, K),
+        lane_m=lm.reshape(G, SUBLANES, K),
+        n_groups=G,
+        n_mcus=int(nm.max()),
+        n_words=W,
+        blocks_per_mcu=len(tables),
+        blk_tables=tuple(tables),
+        frame_key=(
+            frame.height, frame.width,
+            tuple((c.h, c.v) for c in frame.components),
+        ),
+        lane_meta=lane_meta,
+        n_lanes=L,
+        images=1,
+        qtabs=q_t,
+        qsets=(q_t,),
+        img_qset=(0,),
+        lane_qset=np.zeros((G, SUBLANES, K), np.int32),
+        bit0=bit0.reshape(G, SUBLANES, K),
+        norst_every=every,
+    )
+
+
+def _norst_dc_add(flat, lane_m, blk_tables, extra_base=None):
+    """flat: [L, M, B, 64] lane-local coefficients. Returns flat with
+    every block's DC raised by the exclusive prefix of per-lane DC
+    totals (per component) — converting lane-local predictors into the
+    true running predictor of the serial stream. extra_base: optional
+    {ci: scalar} added on top (the cross-shard base from
+    halo.dc_prefix_fixup)."""
+    dc = flat[..., 0]  # [L, M, B]
+    last_mcu = jnp.maximum(lane_m - 1, 0)  # [L]
+    cis = sorted({ci for ci, _d, _a in blk_tables})
+    last_b = {ci: max(b for b, t in enumerate(blk_tables) if t[0] == ci)
+              for ci in cis}
+    off_by_ci = {}
+    for ci in cis:
+        tot = jnp.take_along_axis(
+            dc[:, :, last_b[ci]], last_mcu[:, None], axis=1
+        )[:, 0]
+        tot = jnp.where(lane_m > 0, tot, 0)
+        off = jnp.cumsum(tot) - tot  # exclusive prefix over lanes
+        if extra_base is not None:
+            off = off + extra_base[ci]
+        off_by_ci[ci] = off
+    add_b = jnp.stack(
+        [off_by_ci[blk_tables[b][0]] for b in range(len(blk_tables))],
+        axis=-1,
+    )  # [L, B]
+    return flat.at[..., 0].add(add_b[:, None, :])
+
+
+def _norst_assemble(plan: BlockPlan, flat, jpeg) -> List[jnp.ndarray]:
+    """MCU-linear assembly of the fixed-up [L, M, B, 64] lanes into
+    per-component [padded_blocks, 64] zigzag grids (single image)."""
+    frame = jpeg.frame
+    scan = jpeg.scans[0]
+    B = plan.blocks_per_mcu
+    rows = plan.norst_every
+    if scan.interleaved:
+        total_mcus = frame.mcus_x * frame.mcus_y
+    else:
+        c0 = frame.components[scan.comp_indices[0]]
+        total_mcus = c0.width_blocks * c0.height_blocks
+    mcus = flat[:, : min(rows, plan.n_mcus)].reshape(-1, B, 64)[:total_mcus]
+
+    if scan.interleaved:
+        by_ci: Dict[int, jnp.ndarray] = {}
+        b0 = 0
+        for sp, ci in enumerate(scan.comp_indices):
+            c = frame.components[ci]
+            nb = c.h * c.v
+            sub = mcus[:, b0 : b0 + nb]
+            b0 += nb
+            sub = sub.reshape(frame.mcus_y, frame.mcus_x, c.v, c.h, 64)
+            sub = sub.transpose(0, 2, 1, 3, 4).reshape(
+                c.padded_hb * c.padded_wb, 64
+            )
+            by_ci[ci] = sub
+        return [by_ci[c.index] for c in frame.components]
+    ci = scan.comp_indices[0]
+    c = frame.components[ci]
+    grid = mcus[:, 0].reshape(c.height_blocks, c.width_blocks, 64)
+    grid = jnp.pad(
+        grid,
+        (
+            (0, c.padded_hb - c.height_blocks),
+            (0, c.padded_wb - c.width_blocks),
+            (0, 0),
+        ),
+    )
+    return [grid.reshape(c.padded_hb * c.padded_wb, 64)]
+
+
+def decode_norst_to_device(
+    jpeg: bitstream.JpegData,
+    config: DecodeConfig = DEFAULT_CONFIG,
+    every: int = 0,
+) -> List[jnp.ndarray]:
+    """Device entropy decode of a no-restart baseline scan: skeleton
+    scan -> lanes at bit offsets -> wavefront kernel with local
+    predictors -> exclusive-prefix DC fixup -> assembled coefficient
+    grids (device-resident). Raises on data errors (strict)."""
+    plan = build_norst_plan(jpeg, every)
+    interpret = jax.default_backend() != "tpu"
+    plan_static = (
+        plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus,
+        "coeff", None,
+    )
+    out, err = run_wavefront(
+        jnp.asarray(plan.bits),
+        jnp.asarray(plan.lane_m),
+        jnp.asarray(plan.seg_bits),
+        plan_static,
+        plan.n_groups,
+        interpret,
+        bit0=jnp.asarray(plan.bit0),
+    )
+    errs = np.asarray(err).reshape(-1)[: plan.n_lanes]
+    failures = failures_from_err(errs, plan.lane_meta)
+    if failures:
+        raise failures[min(failures)]
+
+    M, B = plan.n_mcus, plan.blocks_per_mcu
+    flat = out.transpose(0, 4, 5, 1, 2, 3).reshape(
+        plan.n_groups * LANE_GROUP, M, B, 64
+    )[: plan.n_lanes]
+    lane_m = jnp.asarray(plan.lane_meta[:, 2])
+    flat = _norst_dc_add(flat, lane_m, plan.blk_tables)
+    return _norst_assemble(plan, flat, jpeg)
+
+
+def decode_norst_sharded(
+    jpeg: bitstream.JpegData,
+    config: DecodeConfig = DEFAULT_CONFIG,
+    every: int = 0,
+    axis: str = "lanes",
+    mesh=None,
+) -> List[jnp.ndarray]:
+    """No-restart entropy decode SHARDED over the device mesh: each
+    device wavefront-decodes a contiguous chunk of skeleton-scan lanes
+    with local predictors; the cross-shard DC base travels over ICI via
+    halo.dc_prefix_fixup (BASELINE.json:5 "DC-predictor state via ICI
+    collectives"), and a local exclusive prefix finishes the fixup.
+    Returns device-resident per-component coefficient grids."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import halo
+
+    if mesh is None:
+        mesh = jax.make_mesh((jax.device_count(),), (axis,))
+    d = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    plan = build_norst_plan(jpeg, every)
+
+    # Pad the group axis to a multiple of the mesh: padding groups hold
+    # zero-MCU lanes that decode nothing and contribute zero DC totals.
+    G = plan.n_groups
+    Gp = -(-G // d) * d
+    K = LANE_GROUP // SUBLANES
+
+    def gpad(a, fill=0):
+        out = np.full((Gp,) + a.shape[1:], fill, a.dtype)
+        out[:G] = a
+        return out
+
+    bits = gpad(plan.bits, -1)
+    lane_m = gpad(plan.lane_m)
+    seg_bits = gpad(plan.seg_bits)
+    bit0 = gpad(plan.bit0)
+    gd = Gp // d  # groups per device
+    M, B = plan.n_mcus, plan.blocks_per_mcu
+    plan_static = (B, plan.blk_tables, plan.n_words, M, "coeff", None)
+    interpret = jax.default_backend() != "tpu"
+    blk_tables = plan.blk_tables
+    cis = sorted({ci for ci, _d2, _a in blk_tables})
+    last_b = {ci: max(b for b, t in enumerate(blk_tables) if t[0] == ci)
+              for ci in cis}
+
+    def local(bits_l, lane_m_l, seg_bits_l, bit0_l):
+        out, err = run_wavefront(
+            bits_l, lane_m_l, seg_bits_l, plan_static, gd, interpret,
+            bit0=bit0_l,
+        )
+        flat = out.transpose(0, 4, 5, 1, 2, 3).reshape(
+            gd * LANE_GROUP, M, B, 64
+        )
+        lm = lane_m_l.reshape(-1)
+        dc = flat[..., 0]
+        last_mcu = jnp.maximum(lm - 1, 0)
+        # Per-shard DC-delta totals per component -> the ICI collective.
+        local_tots = []
+        off_local = {}
+        for ci in cis:
+            tot = jnp.take_along_axis(
+                dc[:, :, last_b[ci]], last_mcu[:, None], axis=1
+            )[:, 0]
+            tot = jnp.where(lm > 0, tot, 0)
+            off_local[ci] = jnp.cumsum(tot) - tot
+            local_tots.append(jnp.sum(tot))
+        base = halo.dc_prefix_fixup(
+            jnp.stack(local_tots).astype(jnp.int32), axis
+        )  # [C]: sum of every previous shard's totals
+        add_b = jnp.stack(
+            [
+                off_local[blk_tables[b][0]]
+                + base[cis.index(blk_tables[b][0])]
+                for b in range(B)
+            ],
+            axis=-1,
+        )  # [Ld, B]
+        flat = flat.at[..., 0].add(
+            jnp.where((lm > 0)[:, None], add_b, 0)[:, None, :]
+        )
+        return flat, err
+
+    fn = jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+    )
+    flat, err = fn(
+        jnp.asarray(bits), jnp.asarray(lane_m), jnp.asarray(seg_bits),
+        jnp.asarray(bit0),
+    )
+    errs = np.asarray(err).reshape(-1)[: plan.n_lanes]
+    failures = failures_from_err(errs, plan.lane_meta)
+    if failures:
+        raise failures[min(failures)]
+    # Assembly slices at lane granularity (not shard-aligned): gather the
+    # corrected lanes first. The downstream transform resharrds by MCU
+    # rows anyway (halo.decode_sharded), so this is the natural exchange
+    # point between lane sharding and row sharding.
+    from jax.sharding import NamedSharding
+
+    flat = jax.device_put(flat, NamedSharding(mesh, P()))
+    return _norst_assemble(plan, flat[: plan.n_lanes], jpeg)
 
 
 def decode_batch_to_rgb_sharded(

@@ -96,6 +96,21 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int,
         ]
 
+        lib.tj_scan_split.restype = ctypes.c_int
+        lib.tj_scan_split.argtypes = [
+            ctypes.c_void_p,                  # destuffed
+            ctypes.c_int64,                   # dlen
+            ctypes.POINTER(ctypes.c_int32),   # scan_params
+            ctypes.c_char_p,                  # hspec
+            ctypes.POINTER(ctypes.c_int32),   # blocks_sp
+            ctypes.c_int,                     # n_blocks
+            ctypes.c_int64,                   # total_mcus
+            ctypes.c_int64,                   # every
+            ctypes.POINTER(ctypes.c_int64),   # bit_offs
+            ctypes.c_char_p,                  # err_msg
+            ctypes.c_int,                     # err_len
+        ]
+
         lib.tj_destuff_segments.restype = ctypes.c_int64
         lib.tj_destuff_segments.argtypes = [
             ctypes.c_char_p,

@@ -764,6 +764,92 @@ int tj_destuff_rows(const uint8_t* scan_data, int64_t scan_len,
   return overflow.load();
 }
 
+// Skeleton-scan a no-restart baseline scan (SURVEY.md §5 long-context
+// item 3/4: the serial prefix that unlocks device-parallel decode of a
+// marker-free stream). Walks the DESTUFFED stream decoding only symbol
+// lengths — no coefficient stores, no MCU geometry — and records the
+// bit offset at every `every` MCUs. The device wavefront then decodes
+// segment i from bit_offs[i] with DC predictors starting at 0; true
+// DCs are recovered by a prefix fixup over per-segment DC totals
+// (halo.dc_prefix_fixup across shards).
+//
+// bit_offs must hold ceil(total_mcus/every)+1 entries; the last entry
+// gets the total bits consumed. Returns ErrCode.
+int tj_scan_split(const uint8_t* destuffed, int64_t dlen,
+                  const int32_t* scan_p, const uint8_t* hspec,
+                  const int32_t* blocks_sp,  // per-MCU block -> scan comp
+                  int n_blocks, int64_t total_mcus, int64_t every,
+                  int64_t* bit_offs, char* err_msg, int err_len) {
+  ErrState err;
+  ScanDesc s = unpack_scan(scan_p);
+  HuffTbl tbls[8];
+  build_tables(hspec, tbls, err);
+  const HuffTbl* dc_tbl[kMaxComps] = {nullptr, nullptr, nullptr, nullptr};
+  const HuffTbl* ac_tbl[kMaxComps] = {nullptr, nullptr, nullptr, nullptr};
+  for (int p = 0; p < s.n_scan_comps; p++) {
+    const HuffTbl& dt = tbls[0 * 4 + s.dc_id[p]];
+    const HuffTbl& at = tbls[1 * 4 + s.ac_id[p]];
+    if (!dt.present || !at.present) {
+      err.set(ERR_SYNTAX, "missing Huffman table");
+    }
+    dc_tbl[p] = &dt;
+    ac_tbl[p] = &at;
+  }
+  if (err.code.load() != OK) {
+    std::snprintf(err_msg, err_len, "%s", err.msg);
+    return err.code.load();
+  }
+
+  BitReader br(destuffed, static_cast<size_t>(dlen));
+  int64_t oi = 0;
+  for (int64_t m = 0; m < total_mcus; m++) {
+    if (m % every == 0) {
+      bit_offs[oi++] =
+          static_cast<int64_t>(br.pos) * 8 + br.fed_pad_bits - br.cnt;
+    }
+    for (int b = 0; b < n_blocks; b++) {
+      int sp = blocks_sp[b];
+      int t = huff_decode(br, *dc_tbl[sp], err);
+      if (t < 0) break;
+      if (t > 15) {
+        err.set(ERR_HUFFMAN, "bad DC size");
+        break;
+      }
+      br.receive(t);
+      int k = 1;
+      while (k < 64) {
+        int rs = huff_decode(br, *ac_tbl[sp], err);
+        if (rs < 0) break;
+        int run = rs >> 4, size = rs & 15;
+        if (size == 0) {
+          if (run == 15) {
+            k += 16;
+            continue;
+          }
+          break;
+        }
+        k += run;
+        if (k > 63) {
+          err.set(ERR_HUFFMAN, "AC run past end of block");
+          break;
+        }
+        br.receive(size);
+        k++;
+      }
+      if (err.code.load(std::memory_order_relaxed) != OK) break;
+    }
+    if (err.code.load(std::memory_order_relaxed) != OK) break;
+  }
+  bit_offs[oi] =
+      static_cast<int64_t>(br.pos) * 8 + br.fed_pad_bits - br.cnt;
+  if (err.code.load() == OK && br.overrun()) {
+    err.set(ERR_TRUNCATED, "entropy stream truncated");
+  }
+  int code = err.code.load();
+  if (code != OK) std::snprintf(err_msg, err_len, "%s", err.msg);
+  return code;
+}
+
 // Destuff a whole scan into `out` (callee-sized >= scan_len) and emit the
 // segment start offsets within the destuffed buffer. seg_starts must hold
 // n_rst+2 entries; seg_starts[n_segments] = total destuffed length.

@@ -196,16 +196,28 @@ def decode_sharded(
     pad_mcu_rows = (-frame.mcus_y) % n_shards
 
     # Entropy: device wavefront for restart-segmented baseline streams
-    # (coefficients stay device-resident), host engines otherwise.
+    # (coefficients stay device-resident); for marker-free streams the
+    # skeleton-scan path decodes lanes sharded over the mesh with the
+    # DC-predictor base crossing shards via dc_prefix_fixup
+    # (BASELINE.json:5 "DC-predictor state via ICI collectives"); host
+    # engines otherwise.
     coeffs = None
     if not frame.progressive and config.entropy_engine in ("auto", "wavefront"):
-        try:
-            from ..kernels import wavefront_pallas
+        from ..kernels import wavefront_pallas
 
-            comps, failures = wavefront_pallas.decode_batch_to_device(
-                [jpeg], config, strict=True
-            )
-            coeffs = comps[0]
+        try:
+            if len(jpeg.scans) == 1 and len(jpeg.scans[0].rst_offsets) == 0:
+                # Lane mesh over the same devices as the row-sharded
+                # transform, so the coefficients land where it runs.
+                coeffs = wavefront_pallas.decode_norst_sharded(
+                    jpeg, config,
+                    mesh=jax.make_mesh((n_shards,), ("lanes",)),
+                )
+            else:
+                comps, failures = wavefront_pallas.decode_batch_to_device(
+                    [jpeg], config, strict=True
+                )
+                coeffs = comps[0]
         except JpegUnsupportedError:
             coeffs = None
     if coeffs is None:

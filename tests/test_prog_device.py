@@ -94,3 +94,23 @@ def test_prog_device_corrupt_scan_raises_or_detects():
             np.asarray(g)
     except JpegError:
         pass
+
+
+def test_batch_on_device_mixed_progressive_and_baseline():
+    """decode_batch_on_device routes progressive members through the
+    device scan kernels and baseline members through the fused path."""
+    datas = [
+        make_jpeg(96, 80, seed=1, subsampling=2, restart_blocks=4),
+        make_jpeg(96, 80, seed=2, subsampling=2, progressive=True,
+                  restart_blocks=8),
+        make_jpeg(64, 64, seed=3, mode="L", progressive=True,
+                  restart_blocks=4),
+    ]
+    res = tpujpeg.decode_batch_on_device(datas)
+    assert not res.errors
+    engines = [s.entropy_engine for s in res.stats if s]
+    assert "wavefront-prog" in engines and "wavefront-fused" in engines
+    for d, img in zip(datas, res.images):
+        np.testing.assert_array_equal(
+            np.asarray(img), np.asarray(Image.open(io.BytesIO(d)))
+        )

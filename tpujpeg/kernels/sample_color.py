@@ -142,13 +142,28 @@ def _phase_split(y: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
 
 
 def _phase_merge(ph_stack: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
-    """[N, C, ph*pw, H, W] -> [N, C, ph*H, pw*W] (inverse of _phase_split)."""
+    """[N, C, ph*pw, H, W] -> [N, C, ph*H, pw*W] (inverse of _phase_split).
+
+    Column interleave rides a uint16 bit-pack + bitcast instead of a
+    transpose that leaves a trailing length-2 dim: XLA tiles u8 as
+    (8,128)(4,1), so a materialized [..., W, 2] copy pads the minor dim
+    2 -> 128 (64x memory — a 16K image's interleave allocated 48 GiB and
+    OOM'd HBM). The u16 pack keeps the minor dim full-width; the row
+    interleave's [.., H, 2, W2] intermediate pads only 2 -> 8."""
     n, c, _, h, w = ph_stack.shape
-    return (
-        ph_stack.reshape(n, c, ph, pw, h, w)
-        .transpose(0, 1, 4, 2, 5, 3)
-        .reshape(n, c, ph * h, pw * w)
-    )
+    x = ph_stack.reshape(n, c, ph, pw, h, w)
+    if pw == 2:
+        lo = x[:, :, :, 0].astype(jnp.uint16)
+        hi = x[:, :, :, 1].astype(jnp.uint16)
+        packed = lo | (hi << 8)  # [n, c, ph, h, w] u16
+        cols = jax.lax.bitcast_convert_type(packed, jnp.uint8).reshape(
+            n, c, ph, h, w * 2
+        )
+    else:
+        cols = x.reshape(n, c, ph, h, w * pw)
+    if ph == 2:
+        return cols.transpose(0, 1, 3, 2, 4).reshape(n, c, 2 * h, pw * w)
+    return cols.reshape(n, c, ph * h, pw * w)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

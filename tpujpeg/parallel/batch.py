@@ -69,18 +69,46 @@ def decode_batch_on_device(
     # Host stage: parse only (metadata-sized), fault-isolated.
     jpegs: List[Optional[bitstream.JpegData]] = [None] * n
     valid: List[int] = []
+    progressive: List[int] = []
     for i, data in enumerate(datas):
         try:
             j = bitstream.parse(data)
-            if j.frame.progressive:
-                raise JpegError(
-                    "on-device batch decodes baseline only; use "
-                    "decode_batch for progressive"
-                )
             jpegs[i] = j
-            valid.append(i)
+            (progressive if j.frame.progressive else valid).append(i)
         except Exception as e:
             errors[i] = e if isinstance(e, JpegError) else JpegError(repr(e))
+
+    # Progressive images: device scan kernels per image (no cross-image
+    # batching yet — each file's scan structure drives its own kernels).
+    if progressive:
+        from ..kernels import pipeline as kp
+        from ..kernels import wavefront_prog
+
+        for i in progressive:
+            j = jpegs[i]
+            try:
+                state = wavefront_prog.decode_all_scans(j, config)
+                frame = j.frame
+                qtabs = [
+                    jnp.asarray(j.qtables[c.tq]) for c in frame.components
+                ]
+                out = kp.transform_batch(
+                    frame, [s[None] for s in state], qtabs, config,
+                    color=bitstream.color_space(j),
+                )[0]
+                images[i] = np.asarray(out) if config.to_numpy else out
+                st = DecodeStats()
+                st.width, st.height = frame.width, frame.height
+                st.n_components = frame.n_components
+                st.progressive = True
+                st.entropy_engine = "wavefront-prog"
+                st.transform_engine = "pallas"
+                stats[i] = st
+            except JpegError as e:
+                errors[i] = e
+            except Exception as e:
+                errors[i] = JpegError(f"internal decode failure: {e!r}")
+
     if not valid:
         return BatchResult(images=images, errors=errors, stats=stats)
 

@@ -65,3 +65,46 @@ def test_fuzz_batch_on_device_isolates_every_failure():
     np.testing.assert_array_equal(res.images[-1], ref)
     for i in res.errors:
         assert isinstance(res.errors[i], JpegError)
+
+
+PROG_BASE = make_jpeg(96, 80, seed=43, subsampling=2, progressive=True,
+                      restart_blocks=4)
+NORST_BASE = make_jpeg(160, 128, seed=44, subsampling=2)  # no markers
+
+
+def _mutate(base, n=24, seed=9):
+    rng = np.random.default_rng(seed)
+    out = []
+    for frac in (0.2, 0.5, 0.8, 0.97):
+        out.append(base[: int(len(base) * frac)])
+    for _ in range(n - 4):
+        pos = int(rng.integers(2, len(base) - 2))
+        mut = bytearray(base)
+        mut[pos] ^= int(rng.integers(1, 256))
+        out.append(bytes(mut))
+    return out
+
+
+def test_fuzz_progressive_device_engine():
+    """Corrupt progressive streams through the device scan kernels:
+    defined JpegError or sane output — never a hang or crash (the
+    kernels' while-loops are step-bounded by construction)."""
+    cfg = DecodeConfig(entropy_engine="wavefront")
+    for i, mut in enumerate(_mutate(PROG_BASE)):
+        try:
+            out = decode(mut, cfg)
+        except JpegError:
+            continue
+        assert out.ndim in (2, 3) and out.shape[0] > 0, f"mutation {i}"
+
+
+def test_fuzz_norst_device_engine():
+    """Corrupt marker-free streams through the skeleton-scan device
+    path: the host pre-scan or the kernel must flag the error."""
+    cfg = DecodeConfig(entropy_engine="wavefront")
+    for i, mut in enumerate(_mutate(NORST_BASE, seed=10)):
+        try:
+            out = decode(mut, cfg)
+        except JpegError:
+            continue
+        assert out.ndim in (2, 3) and out.shape[0] > 0, f"mutation {i}"

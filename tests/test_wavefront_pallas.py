@@ -280,3 +280,33 @@ def test_norst_truncated_stream_raises():
     scan.data = scan.data[: len(scan.data) // 2]
     with pytest.raises(JpegError):
         wp.decode_norst_to_device(jpeg)
+
+
+def test_huge_restart_interval_segmented_skeleton_decode():
+    """Restart-segmented stream whose segments exceed the VMEM row cap:
+    the skeleton scan sub-splits each marker segment (every | DRI) and
+    the DC prefix fixup resets at marker boundaries — closing the last
+    fused-kernel scope gap (VERDICT round 1 #7 item 3)."""
+    from tpujpeg import huffman
+
+    data = make_jpeg(512, 512, seed=8, subsampling=2, restart_blocks=256)
+    jpeg = bitstream.parse(data)
+    assert len(jpeg.scans[0].rst_offsets) >= 2
+    with pytest.raises(JpegUnsupportedError):
+        wp.build_block_plan([jpeg])  # a segment is over the row cap
+    ref = huffman.decode_all_scans(jpeg)
+    comps = wp.decode_norst_to_device(jpeg)
+    for ci, (a, b) in enumerate(zip(ref, comps)):
+        np.testing.assert_array_equal(a, np.asarray(b), err_msg=f"comp {ci}")
+
+
+def test_huge_restart_interval_full_decode_via_engine():
+    import tpujpeg
+    from tpujpeg.config import DecodeConfig
+
+    data = make_jpeg(320, 256, seed=9, subsampling=0, restart_blocks=128)
+    img, st = tpujpeg.decode(
+        data, DecodeConfig(entropy_engine="wavefront"), return_stats=True
+    )
+    assert st.entropy_engine == "wavefront"
+    np.testing.assert_array_equal(np.asarray(img), pil_decode(data))

@@ -165,6 +165,11 @@ class BlockPlan:
     # row (lanes split at skeleton-scan bit offsets), and MCUs per lane.
     bit0: Optional[np.ndarray] = None  # int32[G, 8, K]
     norst_every: int = 0
+    # Marker-segment id per lane + first lane of each marker segment:
+    # DC predictors reset at marker boundaries, so the prefix fixup is a
+    # SEGMENTED exclusive cumsum over these groups.
+    lane_seg: Optional[np.ndarray] = None  # int64[L]
+    seg_first: Optional[np.ndarray] = None  # int64[n_marker_segments]
 
 
 def build_block_plan(
@@ -833,14 +838,14 @@ def decode_all_scans(
         comps, _ = decode_batch_to_device([jpeg], config, strict=True)
         return [np.asarray(c) for c in comps[0]]
     except JpegUnsupportedError:
-        # Marker-free stream too long for one VMEM row lane: split it
-        # with the host skeleton scan and decode the pieces as lanes.
+        # Segments too long for one VMEM row lane (marker-free streams
+        # or huge restart intervals): split them with the host skeleton
+        # scan and decode the pieces as lanes with a DC prefix fixup.
         scan = jpeg.scans[0] if jpeg.scans else None
         if (
             scan is not None
             and not jpeg.frame.progressive
             and len(jpeg.scans) == 1
-            and len(scan.rst_offsets) == 0
         ):
             return [
                 np.asarray(c) for c in decode_norst_to_device(jpeg, config)
@@ -1043,35 +1048,18 @@ def decode_batch_to_rgb(
 # ---------------------------------------------------------------------------
 
 
-def _scan_split_host(jpeg, scan, every: int):
-    """Skeleton scan via the native library, pure-python fallback.
-    Returns (destuffed uint8 array, int64 bit offsets [n_lanes+1])."""
-    from ..errors import JpegError as _JE
-
-    try:
-        from ..native import entropy as ne
-
-        ne.destuff_rows  # force the lazy build; failures fall through
-        return ne.scan_split(jpeg, scan, every)
-    except _JE:
-        raise
-    except Exception:
-        pass
-
+def _skeleton_walk_py(dest: bytes, jpeg, scan, total: int, every: int):
+    """Pure-python skeleton walk over one destuffed (sub-)buffer."""
     from .. import huffman as hf
 
-    dest = bitstream.split_restart_segments(scan)[0]
     tbls = hf.build_tables(scan.huff)
     frame = jpeg.frame
     if scan.interleaved:
-        total = frame.mcus_x * frame.mcus_y
         sps: List[int] = []
         for p, ci in enumerate(scan.comp_indices):
             c = frame.components[ci]
             sps += [p] * (c.h * c.v)
     else:
-        c0 = frame.components[scan.comp_indices[0]]
-        total = c0.width_blocks * c0.height_blocks
         sps = [0]
     dcs = [tbls[(0, scan.dc_ids[p])] for p in range(scan.n_comps)]
     acs = [tbls[(1, scan.ac_ids[p])] for p in range(scan.n_comps)]
@@ -1102,23 +1090,87 @@ def _scan_split_host(jpeg, scan, every: int):
     offs.append(r.pos * 8 + r.pad_bits - r.cnt)
     if r.overrun():
         raise JpegTruncatedError("entropy stream truncated")
-    return np.frombuffer(bytes(dest), np.uint8), np.asarray(offs, np.int64)
+    return np.asarray(offs, np.int64)
+
+
+def _scan_split_host(jpeg, scan, every: int):
+    """Skeleton scan of EVERY restart segment (or of the single
+    marker-free stream), native with a pure-python fallback. Returns
+    (destuffed uint8 array, int64 ABSOLUTE bit offsets [n_lanes+1],
+    first-lane index of each marker segment). Lane boundaries fall at
+    every `every` MCUs within a marker segment and always at marker
+    boundaries (the caller picks `every` dividing the DRI)."""
+    from ..errors import JpegError as _JE
+
+    frame = jpeg.frame
+    if scan.interleaved:
+        total = frame.mcus_x * frame.mcus_y
+    else:
+        c0 = frame.components[scan.comp_indices[0]]
+        total = c0.width_blocks * c0.height_blocks
+    ri = scan.restart_interval or total
+
+    native = None
+    try:
+        from ..native import entropy as ne
+
+        ne.destuff_rows  # force the lazy build; failures fall through
+        native = ne
+    except _JE:
+        raise
+    except Exception:
+        native = None
+
+    if native is not None:
+        dest, seg_starts = native.destuff_segments(scan)
+    else:
+        pieces = bitstream.split_restart_segments(scan)
+        seg_starts = np.zeros(len(pieces) + 1, np.int64)
+        np.cumsum([len(p) for p in pieces], out=seg_starts[1:])
+        dest = np.frombuffer(b"".join(bytes(p) for p in pieces), np.uint8)
+
+    offs_all = []
+    seg_first = []
+    lane0 = 0
+    mcu = 0
+    si = 0
+    while mcu < total:
+        n_m = min(ri, total - mcu)
+        s0 = int(seg_starts[si])
+        s1 = int(seg_starts[si + 1])
+        sub = dest[s0:s1]
+        if native is not None:
+            offs = native.scan_split_buf(sub, jpeg, scan, n_m, every)
+        else:
+            offs = _skeleton_walk_py(bytes(sub), jpeg, scan, n_m, every)
+        seg_first.append(lane0)
+        lane0 += len(offs) - 1
+        offs_all.append(offs[:-1] + s0 * 8)
+        last_end = offs[-1] + s0 * 8
+        mcu += n_m
+        si += 1
+    offs_flat = np.concatenate(offs_all + [[last_end]])
+    return dest, offs_flat, np.asarray(seg_first, np.int64)
 
 
 def build_norst_plan(
     jpeg: bitstream.JpegData, every: int = 0
 ) -> BlockPlan:
-    """Plan a single no-restart baseline scan as wavefront lanes split
-    at skeleton-scan bit offsets. Lanes start mid-word (plan.bit0) and
-    carry local predictors; callers must run the DC prefix fixup."""
+    """Plan a baseline scan as wavefront lanes split at skeleton-scan
+    bit offsets — for marker-FREE streams (the whole scan is one serial
+    chain) and for restart-segmented streams whose segments exceed the
+    VMEM row cap (huge DRIs). `every` is snapped to a divisor of the
+    restart interval so every lane covers exactly `every` MCUs (only the
+    stream's final lane is short), keeping assembly reshape-only. Lanes
+    start mid-word (plan.bit0) and carry local predictors; callers must
+    run the DC prefix fixup (predictors reset at marker boundaries —
+    lane_seg in lane_meta column 3 marks each lane's marker segment)."""
     frame = jpeg.frame
     if frame.progressive:
         raise JpegUnsupportedError("pallas wavefront: baseline only")
     if len(jpeg.scans) != 1:
         raise JpegUnsupportedError("pallas wavefront: one scan only")
     scan = jpeg.scans[0]
-    if len(scan.rst_offsets):
-        raise JpegUnsupportedError("stream has restart markers: use build_block_plan")
     if not scan.interleaved and frame.n_components != 1:
         raise JpegUnsupportedError(
             "pallas wavefront: non-interleaved multi-component scan"
@@ -1131,27 +1183,35 @@ def build_norst_plan(
         total_mcus = c0.width_blocks * c0.height_blocks
     if total_mcus <= 0:
         raise JpegUnsupportedError("empty scan")
+    ri = scan.restart_interval or total_mcus
+
+    def snap_divisor(e: int) -> int:
+        e = max(1, min(e, ri))
+        while ri % e:
+            e -= 1
+        return e
 
     avg_bits = max(1, len(scan.data) * 8 // total_mcus)
     if every <= 0:
         # Target roughly half the VMEM row per lane so content skew has
         # headroom; clamp so tiny images still split into >= 2 lanes.
         every = max(1, (MAX_WORDS * 32 // 2) // avg_bits)
+    every = snap_divisor(every)
 
-    dest = offs = None
+    dest = offs = seg_first = None
     W = MAX_WORDS + 1
-    for _ in range(4):
-        dest, offs = _scan_split_host(jpeg, scan, every)
+    for _ in range(6):
+        dest, offs, seg_first = _scan_split_host(jpeg, scan, every)
         start_words = (offs[:-1] >> 5).astype(np.int64)
         end_rel = offs[1:] - (start_words << 5)
         W = int(-(-int(end_rel.max()) // 32)) + 1
         W = min(-(-W // 64) * 64, MAX_WORDS + 64)
         if W <= MAX_WORDS or every == 1:
             break
-        every = max(1, every // 2)
+        every = snap_divisor(every // 2)
     if W > MAX_WORDS:
         raise JpegUnsupportedError(
-            "no-restart stream: a split segment exceeds the VMEM row cap"
+            "skeleton split: a sub-segment exceeds the VMEM row cap"
         )
 
     L = len(offs) - 1
@@ -1237,21 +1297,34 @@ def build_norst_plan(
         lane_qset=np.zeros((G, SUBLANES, K), np.int32),
         bit0=bit0.reshape(G, SUBLANES, K),
         norst_every=every,
+        lane_seg=(fm // ri).astype(np.int64),
+        seg_first=seg_first,
     )
 
 
-def _norst_dc_add(flat, lane_m, blk_tables, extra_base=None):
+def _norst_dc_add(flat, lane_m, blk_tables, extra_base=None,
+                  lane_seg=None, seg_first=None):
     """flat: [L, M, B, 64] lane-local coefficients. Returns flat with
     every block's DC raised by the exclusive prefix of per-lane DC
     totals (per component) — converting lane-local predictors into the
-    true running predictor of the serial stream. extra_base: optional
-    {ci: scalar} added on top (the cross-shard base from
-    halo.dc_prefix_fixup)."""
+    true running predictor of the serial stream. With lane_seg/seg_first
+    (restart-segmented streams split at sub-segment offsets) the prefix
+    resets at each marker segment, matching the T.81 predictor reset.
+    extra_base: optional {ci: scalar} added on top (the cross-shard base
+    from halo.dc_prefix_fixup)."""
     dc = flat[..., 0]  # [L, M, B]
     last_mcu = jnp.maximum(lane_m - 1, 0)  # [L]
     cis = sorted({ci for ci, _d, _a in blk_tables})
     last_b = {ci: max(b for b, t in enumerate(blk_tables) if t[0] == ci)
               for ci in cis}
+    segmented = (
+        lane_seg is not None
+        and seg_first is not None
+        and len(seg_first) > 1
+    )
+    if segmented:
+        seg_first_j = jnp.asarray(np.asarray(seg_first, np.int32))
+        lane_seg_j = jnp.asarray(np.asarray(lane_seg, np.int32))
     off_by_ci = {}
     for ci in cis:
         tot = jnp.take_along_axis(
@@ -1259,6 +1332,9 @@ def _norst_dc_add(flat, lane_m, blk_tables, extra_base=None):
         )[:, 0]
         tot = jnp.where(lane_m > 0, tot, 0)
         off = jnp.cumsum(tot) - tot  # exclusive prefix over lanes
+        if segmented:
+            # Subtract the prefix at each lane's marker-segment start.
+            off = off - off[seg_first_j][lane_seg_j]
         if extra_base is not None:
             off = off + extra_base[ci]
         off_by_ci[ci] = off
@@ -1345,7 +1421,10 @@ def decode_norst_to_device(
         plan.n_groups * LANE_GROUP, M, B, 64
     )[: plan.n_lanes]
     lane_m = jnp.asarray(plan.lane_meta[:, 2])
-    flat = _norst_dc_add(flat, lane_m, plan.blk_tables)
+    flat = _norst_dc_add(
+        flat, lane_m, plan.blk_tables,
+        lane_seg=plan.lane_seg, seg_first=plan.seg_first,
+    )
     return _norst_assemble(plan, flat, jpeg)
 
 
@@ -1370,6 +1449,13 @@ def decode_norst_sharded(
     if mesh is None:
         mesh = jax.make_mesh((jax.device_count(),), (axis,))
     d = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if jpeg.scans and len(jpeg.scans[0].rst_offsets):
+        # The cross-shard base collective assumes one continuous
+        # predictor chain; restart-segmented oversize streams use the
+        # single-device segmented path instead.
+        raise JpegUnsupportedError(
+            "sharded skeleton decode: marker-free streams only"
+        )
     plan = build_norst_plan(jpeg, every)
 
     # Pad the group axis to a multiple of the mesh: padding groups hold

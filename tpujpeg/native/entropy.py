@@ -145,25 +145,11 @@ def destuff_segments(scan: bitstream.Scan) -> Tuple[np.ndarray, np.ndarray]:
     return out[:total], starts
 
 
-def scan_split(
-    jpeg: bitstream.JpegData,
-    scan: bitstream.Scan,
-    every: int,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Skeleton-scan a no-restart baseline scan: one fast native walk
-    (symbol lengths only, no coefficient stores) that records the bit
-    offset of every `every`-th MCU in the DESTUFFED stream — the serial
-    prefix that turns a marker-free stream into wavefront lanes
-    (SURVEY.md §5 long-context item 3). Returns (destuffed_u8,
-    bit_offs_i64) where bit_offs has ceil(total/every)+1 entries, the
-    last being the total bits consumed."""
-    lib = build_mod.get_lib()
+def _blocks_sp(jpeg: bitstream.JpegData, scan: bitstream.Scan):
     frame = jpeg.frame
-    destuffed, _ = destuff_segments(scan)
-
     if scan.interleaved:
         total = frame.mcus_x * frame.mcus_y
-        blocks_sp = []
+        blocks_sp: list = []
         for p, ci in enumerate(scan.comp_indices):
             c = frame.components[ci]
             blocks_sp += [p] * (c.h * c.v)
@@ -171,11 +157,27 @@ def scan_split(
         c0 = frame.components[scan.comp_indices[0]]
         total = c0.width_blocks * c0.height_blocks
         blocks_sp = [0]
-    bsp = np.asarray(blocks_sp, dtype=np.int32)
+    return total, blocks_sp
 
-    n_off = -(-total // every) + 1
+
+def scan_split_buf(
+    destuffed: np.ndarray,
+    jpeg: bitstream.JpegData,
+    scan: bitstream.Scan,
+    total_mcus: int,
+    every: int,
+) -> np.ndarray:
+    """Skeleton-scan `total_mcus` MCUs of a DESTUFFED buffer (symbol
+    lengths only, no coefficient stores), recording the bit offset of
+    every `every`-th MCU. Returns int64 offsets with
+    ceil(total/every)+1 entries, the last being total bits consumed."""
+    lib = build_mod.get_lib()
+    _tot, blocks_sp = _blocks_sp(jpeg, scan)
+    bsp = np.asarray(blocks_sp, dtype=np.int32)
+    n_off = -(-total_mcus // every) + 1
     offs = np.zeros(n_off, dtype=np.int64)
     err = ctypes.create_string_buffer(256)
+    destuffed = np.ascontiguousarray(destuffed)
     code = lib.tj_scan_split(
         destuffed.ctypes.data_as(ctypes.c_void_p),
         len(destuffed),
@@ -183,7 +185,7 @@ def scan_split(
         _pack_hspecs(scan.huff),
         bsp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         len(blocks_sp),
-        total,
+        total_mcus,
         every,
         offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         err,
@@ -192,7 +194,22 @@ def scan_split(
     if code != 0:
         exc = _ERR_MAP.get(code, JpegError)
         raise exc(err.value.decode("utf-8", "replace"))
-    return destuffed, offs
+    return offs
+
+
+def scan_split(
+    jpeg: bitstream.JpegData,
+    scan: bitstream.Scan,
+    every: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Skeleton-scan a no-restart baseline scan: one fast native walk
+    that records the bit offset of every `every`-th MCU in the DESTUFFED
+    stream — the serial prefix that turns a marker-free stream into
+    wavefront lanes (SURVEY.md §5 long-context item 3). Returns
+    (destuffed_u8, bit_offs_i64)."""
+    total, _sp = _blocks_sp(jpeg, scan)
+    destuffed, _ = destuff_segments(scan)
+    return destuffed, scan_split_buf(destuffed, jpeg, scan, total, every)
 
 
 def destuff_rows(

@@ -131,14 +131,30 @@ def _kernel_444(y_ref, cb_ref, cr_ref, r_ref, g_ref, b_ref):
 
 
 def _phase_split(y: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
-    """[N, ph*H, pw*W] -> [N, ph*pw, H, W]: phase (a, b) = y[:, a::ph, b::pw]."""
+    """[N, ph*H, pw*W] -> [N, ph*pw, H, W]: phase (a, b) = y[:, a::ph, b::pw].
+
+    Column phases come from a uint16 bitcast (low byte = even column)
+    instead of a transpose with a trailing length-2 minor dim — XLA
+    tile-pads such a dim 2 -> 128 when it materializes the copy (a 16 GiB
+    temp for a 16K luma plane). Row phases are mid-dim slices (no minor
+    padding)."""
     n = y.shape[0]
     h, w = y.shape[1] // ph, y.shape[2] // pw
-    return (
-        y.reshape(n, h, ph, w, pw)
-        .transpose(0, 2, 4, 1, 3)
-        .reshape(n, ph * pw, h, w)
-    )
+    if pw == 2:
+        pairs = jax.lax.bitcast_convert_type(
+            y.reshape(n, y.shape[1], w, 2), jnp.uint16
+        )  # [n, ph*H, W]
+        even = (pairs & 0xFF).astype(jnp.uint8)
+        odd = (pairs >> 8).astype(jnp.uint8)
+        cols = [even, odd]
+    else:
+        cols = [y]
+    phases = []
+    for a in range(ph):
+        for b in range(pw):
+            plane = cols[b] if pw == 2 else cols[0]
+            phases.append(plane.reshape(n, h, ph, w)[:, :, a])
+    return jnp.stack(phases, axis=1)
 
 
 def _phase_merge(ph_stack: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:

@@ -708,9 +708,12 @@ def assemble(plan: BlockPlan, out: jnp.ndarray, jpegs) -> List[List[jnp.ndarray]
     M = plan.n_mcus
     K = LANE_GROUP // SUBLANES
 
-    # [G, M, B, 64, 8, K] -> [lane, M, B, 64] with lane = g*2048 + s*K + j
-    flat = out.transpose(0, 4, 5, 1, 2, 3).reshape(
-        plan.n_groups * LANE_GROUP, M, B, 64
+    # [G, M, B, 64, 8, K] -> [lane, M, B, 64] with lane = g*2048 + s*K + j.
+    # (M, B, 64) merge before the transpose: see assemble_pixels.
+    flat = (
+        out.reshape(plan.n_groups, M * B * 64, SUBLANES, K)
+        .transpose(0, 2, 3, 1)
+        .reshape(plan.n_groups * LANE_GROUP, M, B, 64)
     )
 
     results: List[List[jnp.ndarray]] = []
@@ -890,8 +893,15 @@ def assemble_pixels(
     B, M, G = shape
     K = LANE_GROUP // SUBLANES
     # dim3 = n*8 + s (pixel n, state sublane s): split, lane-major.
-    px = out.reshape(B, G, M, 64, SUBLANES, K).transpose(0, 1, 4, 5, 2, 3)
-    px = px.reshape(B, G * LANE_GROUP, M, 64)
+    # Merge (M, 64) BEFORE transposing so the post-transpose minor dim
+    # is M*64 (a 128-multiple for M>=2): with (M, 64) as separate minor
+    # dims XLA tile-pads them up to 32x (measured: an 8 GiB temp for a
+    # 256 MB tensor at 16K), and the padded copy is also the slow path.
+    px = (
+        out.reshape(B, G, M * 64, SUBLANES, K)
+        .transpose(0, 1, 3, 4, 2)
+        .reshape(B, G * LANE_GROUP, M, 64)
+    )
 
     results: List[List[jnp.ndarray]] = []
     lane0 = 0
@@ -1417,8 +1427,10 @@ def decode_norst_to_device(
         raise failures[min(failures)]
 
     M, B = plan.n_mcus, plan.blocks_per_mcu
-    flat = out.transpose(0, 4, 5, 1, 2, 3).reshape(
-        plan.n_groups * LANE_GROUP, M, B, 64
+    flat = (
+        out.reshape(plan.n_groups, M * B * 64, SUBLANES, LANE_GROUP // SUBLANES)
+        .transpose(0, 2, 3, 1)
+        .reshape(plan.n_groups * LANE_GROUP, M, B, 64)
     )[: plan.n_lanes]
     lane_m = jnp.asarray(plan.lane_meta[:, 2])
     flat = _norst_dc_add(
@@ -1487,8 +1499,10 @@ def decode_norst_sharded(
             bits_l, lane_m_l, seg_bits_l, plan_static, gd, interpret,
             bit0=bit0_l,
         )
-        flat = out.transpose(0, 4, 5, 1, 2, 3).reshape(
-            gd * LANE_GROUP, M, B, 64
+        flat = (
+            out.reshape(gd, M * B * 64, SUBLANES, LANE_GROUP // SUBLANES)
+            .transpose(0, 2, 3, 1)
+            .reshape(gd * LANE_GROUP, M, B, 64)
         )
         lm = lane_m_l.reshape(-1)
         dc = flat[..., 0]

@@ -627,9 +627,16 @@ run_ac_refine_jit = jax.jit(
 
 
 def _lanes_to_grid(plan: ProgPlan, out, c):
-    """[G, M, 64, 8, K] kernel output -> [height_blocks, width_blocks, 64]."""
+    """[G, M, 64, 8, K] kernel output -> [height_blocks, width_blocks, 64].
+    (M, 64) merge before the transpose keeps the minor dim a 128-multiple
+    — separate tiny minor dims get tile-padded up to 64x when XLA
+    materializes the copy (see wavefront_pallas.assemble_pixels)."""
     G, M = plan.n_groups, plan.n_mcus
-    flat = out.transpose(0, 3, 4, 1, 2).reshape(G * LANE_GROUP, M, 64)
+    flat = (
+        out.reshape(G, M * 64, SUBLANES, K)
+        .transpose(0, 2, 3, 1)
+        .reshape(G * LANE_GROUP, M, 64)
+    )
     flat = flat[: plan.n_lanes, : plan.rows].reshape(-1, 64)
     flat = flat[: plan.total_mcus]
     return flat.reshape(c.height_blocks, c.width_blocks, 64)
@@ -646,7 +653,11 @@ def _grid_to_lanes(plan: ProgPlan, grid, c):
         flat = jnp.pad(flat, ((0, 0), (0, M - plan.rows), (0, 0)))
     lane_pad = G * LANE_GROUP - plan.n_lanes
     flat = jnp.pad(flat, ((0, lane_pad), (0, 0), (0, 0)))
-    return flat.reshape(G, SUBLANES, K, M, 64).transpose(0, 3, 4, 1, 2)
+    return (
+        flat.reshape(G, SUBLANES, K, M * 64)
+        .transpose(0, 3, 1, 2)
+        .reshape(G, M, 64, SUBLANES, K)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -769,8 +780,10 @@ def apply_scan_device(
             errs_out.append((err, plan))
         G, M = plan.n_groups, plan.n_mcus
         B = len(blk_sp)
-        flat = out.transpose(0, 3, 4, 1, 2).reshape(
-            G * LANE_GROUP, M, B
+        flat = (
+            out.reshape(G, M * B, SUBLANES, K)
+            .transpose(0, 2, 3, 1)
+            .reshape(G * LANE_GROUP, M, B)
         )[: plan.n_lanes, : plan.rows].reshape(-1, B)[: plan.total_mcus]
         if scan.interleaved:
             b0 = 0

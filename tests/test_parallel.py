@@ -137,3 +137,12 @@ def test_decode_sharded_no_restart_full_image():
     data = make_jpeg(160, 128, seed=37, subsampling=2)
     out = halo.decode_sharded(data, n_shards=8)
     np.testing.assert_array_equal(out, pil_decode(data))
+
+
+@needs_devices
+def test_decode_sharded_huge_restart_interval():
+    """Giant-image path with oversize restart segments: entropy goes
+    through the segmented skeleton split, transform stays row-sharded."""
+    data = make_jpeg(160, 160, seed=41, subsampling=2, restart_blocks=200)
+    out = halo.decode_sharded(data, n_shards=4)
+    np.testing.assert_array_equal(out, pil_decode(data))

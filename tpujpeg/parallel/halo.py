@@ -219,7 +219,14 @@ def decode_sharded(
                 )
                 coeffs = comps[0]
         except JpegUnsupportedError:
-            coeffs = None
+            try:
+                # Oversize restart segments: segmented skeleton split on
+                # one device (coefficients stay device-resident).
+                coeffs = wavefront_pallas.decode_norst_to_device(
+                    jpeg, config
+                )
+            except JpegUnsupportedError:
+                coeffs = None
     if coeffs is None:
         coeffs = _entropy_decode(jpeg, config, DecodeStats())
 

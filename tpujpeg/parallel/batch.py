@@ -160,10 +160,32 @@ def decode_batch_on_device(
             )
             engine = "wavefront-pallas-coeff"
         except JpegError:
-            coeffs_dev, failures = wavefront.decode_batch_to_device(
-                sub, config, strict=False
-            )
-            engine = "wavefront-xla"
+            from ..errors import JpegUnsupportedError
+
+            # Per-image skeleton split: marker-free streams and oversize
+            # restart segments still decode on device (with the DC
+            # prefix fixup) before the slow XLA single-lane fallback.
+            coeffs_dev = []
+            failures = {}
+            engine = "wavefront-skeleton"
+            try:
+                for li, j in enumerate(sub):
+                    try:
+                        coeffs_dev.append(
+                            wavefront_pallas.decode_norst_to_device(
+                                j, config
+                            )
+                        )
+                    except JpegUnsupportedError:
+                        raise
+                    except JpegError as e:
+                        coeffs_dev.append(None)
+                        failures[li] = e
+            except JpegUnsupportedError:
+                coeffs_dev, failures = wavefront.decode_batch_to_device(
+                    sub, config, strict=False
+                )
+                engine = "wavefront-xla"
         for local_i, exc in failures.items():
             errors[members[local_i]] = exc
         ok = [li for li in range(len(members)) if li not in failures]

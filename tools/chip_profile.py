@@ -84,7 +84,7 @@ def main() -> int:
         acc = jnp.int32(0)
         for ci in range(frame.n_components):
             st = jnp.stack([per[i][ci] for i in range(nimg)])
-            acc = acc + jnp.sum(st[:, ::97, ::97].astype(jnp.int32))
+            acc = acc + jnp.sum(st.astype(jnp.int32))
         return acc, err
 
     @jax.jit
@@ -99,7 +99,7 @@ def main() -> int:
             for ci in range(frame.n_components)
         ]
         rgb = kernel_pipeline.transform_planes_batch(frame, stacked, cfg)
-        return jnp.sum(rgb[:, ::97, ::97].astype(jnp.int32)), err
+        return jnp.sum(rgb.astype(jnp.int32)), err
 
     def timed(fn, label):
         v, err = fn(bits, lane_m, seg_bits, lane_q)

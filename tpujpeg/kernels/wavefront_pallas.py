@@ -1005,6 +1005,13 @@ def _rgb_chain(plan: BlockPlan, jpegs, config, interpret: bool):
                 jnp.stack([per[i][ci] for i in range(n_images)])
                 for ci in range(frame.n_components)
             ]
+            if frame.height * frame.width > 100_000_000:
+                # Giant single images: stop XLA fusing the color stage's
+                # u16 phase-split bitcast INTO the assembly copies — the
+                # fused form materializes the tile-padded 6-D interleave
+                # temps at double width (u16), which alone overflows HBM
+                # at 16K. The barrier keeps assembly temps u8.
+                stacked = list(jax.lax.optimization_barrier(tuple(stacked)))
             rgb = kernel_pipeline.transform_planes_batch(
                 frame, stacked, config, color=color
             )

@@ -109,3 +109,41 @@ def test_destuff_rows_matches_segments():
         seg = np.asarray(buf[starts[s] : starts[s + 1]])
         np.testing.assert_array_equal(raw[s, : lens[s]], seg)
         assert (raw[s, lens[s] :] == 0xFF).all()
+
+
+def test_native_scan_split_matches_python_walk():
+    """tj_scan_split (skeleton scan, round-2 addition) vs the
+    pure-python walker: identical bit offsets on marker-free and
+    restart-segmented streams."""
+    from tpujpeg.kernels.wavefront_pallas import _skeleton_walk_py
+
+    for kw in (dict(), dict(restart_blocks=64)):
+        data = make_jpeg(160, 128, seed=17, subsampling=2, **kw)
+        jpeg = bitstream.parse(data)
+        scan = jpeg.scans[0]
+        dest, starts = native_entropy.destuff_segments(scan)
+        total, _sp = native_entropy._blocks_sp(jpeg, scan)
+        ri = scan.restart_interval or total
+        mcu = 0
+        si = 0
+        while mcu < total:
+            n_m = min(ri, total - mcu)
+            sub = dest[int(starts[si]) : int(starts[si + 1])]
+            got = native_entropy.scan_split_buf(sub, jpeg, scan, n_m, 7)
+            want = _skeleton_walk_py(bytes(sub), jpeg, scan, n_m, 7)
+            np.testing.assert_array_equal(got, want)
+            mcu += n_m
+            si += 1
+
+
+def test_native_scan_split_truncation_detected():
+    from tpujpeg.errors import JpegError
+
+    data = make_jpeg(96, 96, seed=18, subsampling=2)
+    jpeg = bitstream.parse(data)
+    scan = jpeg.scans[0]
+    dest, _ = native_entropy.destuff_segments(scan)
+    total, _sp = native_entropy._blocks_sp(jpeg, scan)
+    with pytest.raises(JpegError):
+        native_entropy.scan_split_buf(dest[: len(dest) // 4], jpeg, scan,
+                                      total, 8)

@@ -107,7 +107,7 @@ def test_norst_sharded_entropy_with_dc_fixup():
 
     data = make_jpeg(320, 256, seed=31, subsampling=2)  # no restarts
     jpeg = __import__("tpujpeg").bitstream.parse(data)
-    assert not jpeg.scans[0].rst_offsets
+    assert len(jpeg.scans[0].rst_offsets) == 0
 
     calls = []
     orig = halo.dc_prefix_fixup

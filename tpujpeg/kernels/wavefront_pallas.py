@@ -893,13 +893,21 @@ def assemble_pixels(
     B, M, G = shape
     K = LANE_GROUP // SUBLANES
     # dim3 = n*8 + s (pixel n, state sublane s): split, lane-major.
-    # Merge (M, 64) BEFORE transposing so the post-transpose minor dim
-    # is M*64 (a 128-multiple for M>=2): with (M, 64) as separate minor
-    # dims XLA tile-pads them up to 32x (measured: an 8 GiB temp for a
-    # 256 MB tensor at 16K), and the padded copy is also the slow path.
+    # Two tricks keep this — the chain's single big data movement — off
+    # XLA's slow paths (chip_profile measured the naive u8 form at
+    # ~8 GB/s, ~100x under HBM bandwidth):
+    #   * merge (M, 64) so the post-transpose minor dim is a
+    #     128-multiple (separate tiny minors tile-pad up to 64x);
+    #   * run the big transpose at int32 width (bitcast-pack 4 adjacent
+    #     lanes), then fix lane order with a small local byte shuffle —
+    #     byte-wide VPU shuffles are the slow part.
+    x32 = jax.lax.bitcast_convert_type(
+        out.reshape(B, G, M * 64, SUBLANES, K // 4, 4), jnp.int32
+    )  # [B, G, M*64, 8, K/4]
+    t = x32.transpose(0, 1, 3, 4, 2)  # [B, G, 8, K/4, M*64] int32
+    u = jax.lax.bitcast_convert_type(t, jnp.uint8)  # [..., M*64, 4]
     px = (
-        out.reshape(B, G, M * 64, SUBLANES, K)
-        .transpose(0, 1, 3, 4, 2)
+        u.transpose(0, 1, 2, 3, 5, 4)  # [..., 4, M*64]: local shuffle
         .reshape(B, G * LANE_GROUP, M, 64)
     )
 

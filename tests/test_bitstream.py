@@ -122,6 +122,28 @@ def _find_scan_end_serial(data: bytes, start: int):
     return n, rsts
 
 
+def _native_find_scan_end(data: bytes, start: int):
+    from tpujpeg.native import entropy as native_entropy
+
+    # Tiny initial capacity on purpose: exercises the re-call-with-true-
+    # count path on FF-dense soup.
+    lib = native_entropy.build_mod.get_lib()
+    import ctypes
+
+    cap = 2
+    while True:
+        out = np.empty(cap, dtype=np.int64)
+        n_rst = ctypes.c_int64(0)
+        end = lib.tj_find_scan_end(
+            data, len(data), start,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap, ctypes.byref(n_rst),
+        )
+        if n_rst.value <= cap:
+            return int(end), out[: n_rst.value]
+        cap = int(n_rst.value)
+
+
 def test_find_scan_end_matches_serial_reference():
     rng = np.random.default_rng(20260817)
     for trial in range(1000):
@@ -139,6 +161,9 @@ def test_find_scan_end_matches_serial_reference():
         end_s, rst_s = _find_scan_end_serial(data, start)
         assert end_v == end_s, (trial, data.hex(), start)
         assert list(rst_v) == rst_s, (trial, data.hex(), start)
+        end_n, rst_n = _native_find_scan_end(data, start)
+        assert end_n == end_s, (trial, data.hex(), start)
+        assert list(rst_n) == rst_s, (trial, data.hex(), start)
 
 
 def test_find_scan_end_handcrafted_cases():

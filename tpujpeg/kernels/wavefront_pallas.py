@@ -193,6 +193,7 @@ def build_block_plan(
     max_words = 0
     max_mcus = 0
     qset_index: Dict[Tuple, int] = {}
+    qset_values: List[Tuple] = []
     img_qset: List[int] = []
 
     for img_i, jpeg in enumerate(jpegs):
@@ -242,13 +243,24 @@ def build_block_plan(
         elif blk_tables != tables_t:
             raise JpegUnsupportedError("pallas wavefront: mixed tables")
 
-        q_t = tuple(
-            tuple(int(x) for x in jpeg.qtables[frame.components[ci].tq])
+        # Key distinct quantizer sets by raw table bytes (cheap); the
+        # int-tuple form the kernel closes over is built once per
+        # distinct set, not per image (host-prep hot path).
+        qkey = tuple(
+            jpeg.qtables[frame.components[ci].tq].tobytes()
             for ci, _d, _a in tables
         )
-        if q_t not in qset_index:
-            qset_index[q_t] = len(qset_index)
-        img_qset.append(qset_index[q_t])
+        idx = qset_index.get(qkey)
+        if idx is None:
+            idx = len(qset_index)
+            qset_index[qkey] = idx
+            qset_values.append(
+                tuple(
+                    tuple(int(x) for x in jpeg.qtables[frame.components[ci].tq])
+                    for ci, _d, _a in tables
+                )
+            )
+        img_qset.append(idx)
 
         if scan.interleaved:
             total_mcus = frame.mcus_x * frame.mcus_y
@@ -347,7 +359,7 @@ def build_block_plan(
     lm = np.zeros(G * LANE_GROUP, np.int32)
     lm[:L] = lane_meta[:, 2]
 
-    qsets = tuple(qset_index)  # insertion-ordered: index s -> qset s
+    qsets = tuple(qset_values)  # insertion-ordered: index s -> qset s
     lq = np.zeros(G * LANE_GROUP, np.int32)
     lq[:L] = np.asarray(img_qset, np.int32)[lane_meta[:, 0]]
 

@@ -111,6 +111,16 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int,                     # err_len
         ]
 
+        lib.tj_find_scan_end.restype = ctypes.c_int64
+        lib.tj_find_scan_end.argtypes = [
+            ctypes.c_char_p,                  # data
+            ctypes.c_int64,                   # n
+            ctypes.c_int64,                   # start
+            ctypes.POINTER(ctypes.c_int64),   # rst_out
+            ctypes.c_int64,                   # rst_cap
+            ctypes.POINTER(ctypes.c_int64),   # n_rst (true count)
+        ]
+
         lib.tj_destuff_segments.restype = ctypes.c_int64
         lib.tj_destuff_segments.argtypes = [
             ctypes.c_char_p,

@@ -850,6 +850,44 @@ int tj_scan_split(const uint8_t* destuffed, int64_t dlen,
   return code;
 }
 
+// Entropy-scan terminator walk (the native twin of Python
+// bitstream._find_scan_end, same T.81 §B.1.1.5/§E.2.4 semantics as the
+// byte-serial reference in tests/test_bitstream.py): from `start`,
+// classify every 0xFF pair as stuffed data (0x00), fill (0xFF), RSTn
+// (record offset relative to start, skip) or a real marker (scan end).
+// Returns the absolute end position (n when the scan runs to EOF).
+// Writes up to rst_cap offsets; *n_rst always holds the TRUE count, so
+// a caller whose buffer was too small re-calls with cap = *n_rst.
+// memchr does the 0xFF hunt (SIMD-fast); this is the host parse stage's
+// hot loop for multi-megabyte scans.
+int64_t tj_find_scan_end(const uint8_t* data, int64_t n, int64_t start,
+                         int64_t* rst_out, int64_t rst_cap,
+                         int64_t* n_rst) {
+  int64_t pos = start;
+  int64_t cnt = 0;
+  while (pos < n - 1) {
+    const void* hit =
+        std::memchr(data + pos, 0xFF, static_cast<size_t>(n - 1 - pos));
+    if (!hit) break;
+    pos = static_cast<const uint8_t*>(hit) - data;
+    const uint8_t nxt = data[pos + 1];
+    if (nxt == 0x00) {
+      pos += 2;  // stuffed pair: both bytes belong to the scan
+    } else if (nxt == 0xFF) {
+      pos += 1;  // fill byte: re-examine from the second 0xFF
+    } else if (nxt >= 0xD0 && nxt <= 0xD7) {
+      if (cnt < rst_cap) rst_out[cnt] = pos - start;
+      cnt++;
+      pos += 2;
+    } else {
+      *n_rst = cnt;
+      return pos;  // real marker terminates the scan
+    }
+  }
+  *n_rst = cnt;
+  return n;
+}
+
 // Destuff a whole scan into `out` (callee-sized >= scan_len) and emit the
 // segment start offsets within the destuffed buffer. seg_starts must hold
 // n_rst+2 entries; seg_starts[n_segments] = total destuffed length.

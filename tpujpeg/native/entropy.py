@@ -212,6 +212,30 @@ def scan_split(
     return destuffed, scan_split_buf(destuffed, jpeg, scan, total, every)
 
 
+def find_scan_end(data: bytes, start: int) -> Tuple[int, np.ndarray]:
+    """Native twin of bitstream._find_scan_end (memchr-driven walk);
+    same (end_pos, rst_offsets) contract, validated against both the
+    vectorized and byte-serial Python references in tests. This is the
+    parse stage's hot loop on multi-megabyte scans."""
+    lib = build_mod.get_lib()
+    n = len(data)
+    # RST markers are >= 2 bytes apart so (n-start)/2 bounds the count;
+    # start smaller (segments are usually >> 32 B) and re-call with the
+    # true count if the guess was short.
+    cap = max(16, (n - start) // 32)
+    while True:
+        out = np.empty(cap, dtype=np.int64)
+        n_rst = ctypes.c_int64(0)
+        end = lib.tj_find_scan_end(
+            data, n, start,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap, ctypes.byref(n_rst),
+        )
+        if n_rst.value <= cap:
+            return int(end), out[: n_rst.value]
+        cap = int(n_rst.value)
+
+
 def destuff_rows(
     scan: bitstream.Scan,
     n_seg: int,

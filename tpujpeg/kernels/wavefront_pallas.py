@@ -976,6 +976,102 @@ def assemble_pixels(
     return results
 
 
+def assemble_pixels_stacked(
+    shape: Tuple[int, int, int],
+    out: jnp.ndarray,
+    geoms: Sequence[ImageGeom],
+) -> List[jnp.ndarray]:
+    """assemble_pixels + stack-over-images in one shot: per component, a
+    [n_images, padded_h, padded_w] uint8 plane batch (what
+    transform_planes_batch consumes).
+
+    When every image shares one geometry AND one restart interval (the
+    steady state of batched streams), the image axis stays a leading dim
+    through a SINGLE raster transpose per component — chip_profile
+    measured the per-image assemble + 64-way jnp.stack at ~103 ms/268 MP
+    (the whole chain's dominant non-kernel cost) while the batched
+    transpose is ~free, because XLA materializes one well-tiled copy
+    instead of 64 slice+transpose ops feeding a concatenate. Mixed
+    restart intervals fall back to the per-image path + stack."""
+    B, M, G = shape
+    g0 = geoms[0]
+    frame = g0.frame
+    aligned = all(
+        g.frame is frame or (
+            g.frame.height == frame.height
+            and g.frame.width == frame.width
+            and g.interleaved == g0.interleaved
+            and g.comp_indices == g0.comp_indices
+            and g.restart_interval == g0.restart_interval
+        )
+        for g in geoms[1:]
+    )
+    if not aligned:
+        per = assemble_pixels(shape, out, geoms)
+        return [
+            jnp.stack([per[i][ci] for i in range(len(geoms))])
+            for ci in range(frame.n_components)
+        ]
+
+    n = len(geoms)
+    K = LANE_GROUP // SUBLANES
+    if g0.interleaved:
+        total_mcus = frame.mcus_x * frame.mcus_y
+    else:
+        c0 = frame.components[g0.comp_indices[0]]
+        total_mcus = c0.width_blocks * c0.height_blocks
+    rows = min(g0.restart_interval or total_mcus, total_mcus)
+    nseg = -(-total_mcus // rows)
+
+    # Same int32-width lane transpose as assemble_pixels, stopping at
+    # [B, lane, M, 64]; the per-image slicing becomes one reshape since
+    # every image owns exactly `nseg` consecutive lanes.
+    x32 = jax.lax.bitcast_convert_type(
+        out.reshape(B, G, M * 64, SUBLANES, K // 4, 4), jnp.int32
+    )
+    t = x32.transpose(0, 1, 3, 4, 2)
+    u = jax.lax.bitcast_convert_type(t, jnp.uint8)
+    px = (
+        u.transpose(0, 1, 2, 3, 5, 4)
+        .reshape(B, G * LANE_GROUP, M, 64)
+    )
+    sub = px[:, : n * nseg].reshape(B, n, nseg * M, 64)[:, :, :total_mcus]
+
+    stacked: List[jnp.ndarray] = []
+    if g0.interleaved:
+        by_ci: Dict[int, jnp.ndarray] = {}
+        b0 = 0
+        for sp, ci in enumerate(g0.comp_indices):
+            c = frame.components[ci]
+            nb = c.h * c.v
+            a = sub[b0 : b0 + nb]  # [v*h, n, mcus, 64]
+            b0 += nb
+            a = a.reshape(c.v, c.h, n, frame.mcus_y, frame.mcus_x, 8, 8)
+            # plane[i, (my*v+dv)*8+r, (mx*h+dh)*8+cc]
+            a = a.transpose(2, 3, 0, 5, 4, 1, 6).reshape(
+                n, c.padded_hb * 8, c.padded_wb * 8
+            )
+            by_ci[ci] = a
+        stacked = [by_ci[c.index] for c in frame.components]
+    else:
+        ci = g0.comp_indices[0]
+        c = frame.components[ci]
+        a = sub[0].reshape(n, c.height_blocks, c.width_blocks, 8, 8)
+        a = a.transpose(0, 1, 3, 2, 4).reshape(
+            n, c.height_blocks * 8, c.width_blocks * 8
+        )
+        a = jnp.pad(
+            a,
+            (
+                (0, 0),
+                (0, c.padded_hb * 8 - a.shape[1]),
+                (0, c.padded_wb * 8 - a.shape[2]),
+            ),
+        )
+        stacked = [a]
+    return stacked
+
+
 # Cache of jitted end-to-end chains (kernel + assembly + color) keyed by
 # every shape/static-relevant property: compiling the WHOLE chain as one
 # XLA program lets the assembly transposes fuse with the kernels' pads
@@ -1020,11 +1116,7 @@ def _rgb_chain(plan: BlockPlan, jpegs, config, interpret: bool):
                 bits, lane_m, seg_bits, plan_static, n_groups, interpret,
                 lane_qset,
             )
-            per = assemble_pixels(shape, out, geoms)
-            stacked = [
-                jnp.stack([per[i][ci] for i in range(n_images)])
-                for ci in range(frame.n_components)
-            ]
+            stacked = assemble_pixels_stacked(shape, out, geoms)
             if frame.height * frame.width > 100_000_000:
                 # Giant single images: stop XLA fusing the color stage's
                 # u16 phase-split bitcast INTO the assembly copies — the
@@ -1647,15 +1739,11 @@ def decode_batch_to_rgb_sharded(
             bits[0], lane_m[0], seg_bits[0], plan_static, p0.n_groups,
             interpret, lane_qset[0],
         )
-        per_img = assemble_pixels(
+        stacked = assemble_pixels_stacked(
             (p0.blocks_per_mcu, p0.n_mcus, p0.n_groups),
             out,
             tuple(ImageGeom.of(j) for j in chunks[0]),
         )
-        stacked = [
-            jnp.stack([per_img[i][ci] for i in range(per)])
-            for ci in range(frame.n_components)
-        ]
         rgb = kernel_pipeline.transform_planes_batch(
             frame, stacked, config, color=bitstream.color_space(chunks[0][0])
         )

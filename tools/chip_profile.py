@@ -80,10 +80,9 @@ def main() -> int:
             bits, lane_m, seg_bits, plan_static, plan.n_groups, interpret,
             lane_q,
         )
-        per = wp.assemble_pixels(shape, out, geoms)
+        stacked = wp.assemble_pixels_stacked(shape, out, geoms)
         acc = jnp.int32(0)
-        for ci in range(frame.n_components):
-            st = jnp.stack([per[i][ci] for i in range(nimg)])
+        for st in stacked:
             acc = acc + jnp.sum(st.astype(jnp.int32))
         return acc, err
 
@@ -93,11 +92,7 @@ def main() -> int:
             bits, lane_m, seg_bits, plan_static, plan.n_groups, interpret,
             lane_q,
         )
-        per = wp.assemble_pixels(shape, out, geoms)
-        stacked = [
-            jnp.stack([per[i][ci] for i in range(nimg)])
-            for ci in range(frame.n_components)
-        ]
+        stacked = wp.assemble_pixels_stacked(shape, out, geoms)
         rgb = kernel_pipeline.transform_planes_batch(frame, stacked, cfg)
         return jnp.sum(rgb.astype(jnp.int32)), err
 

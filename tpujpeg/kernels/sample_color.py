@@ -72,10 +72,26 @@ def _right(v):
     return jnp.concatenate([v[:, 1:], v[:, -1:]], axis=1)
 
 
+def _color_u16pair(y_e, y_o, cb_e, cb_o, cr_e, cr_o):
+    """RGB for an (even col, odd col) phase pair, packed per component
+    as uint16 words (low byte = even column). The pack costs three
+    integer ops in registers here; done outside the kernel it is a
+    full extra HBM pass over the RGB (the old stack + u16-pack stages,
+    ~half the measured color-tail time)."""
+    out = []
+    for e, o in zip(_color(y_e, cb_e, cr_e), _color(y_o, cb_o, cr_o)):
+        out.append(
+            (e.astype(jnp.int32) | (o.astype(jnp.int32) << 8))
+            .astype(jnp.uint16)
+        )
+    return out  # [r16, g16, b16]
+
+
 def _kernel_h2v2(y_ref, cbc_ref, cba_ref, cbb_ref, crc_ref, cra_ref, crb_ref,
-                 r_ref, g_ref, b_ref):
+                 out_ref):
     """One strip of one image: T2 chroma rows + 8-row halo blocks ->
-    [4, T2, Wc] phase-stacked RGB. y_ref: [1, 4, T2, Wc] phase-split."""
+    [3, 2, T2, Wc] uint16 column-packed RGB (dim1 = output-row parity).
+    y_ref: [1, 4, T2, Wc] phase-split."""
     t2 = cbc_ref.shape[1]
     i = pl.program_id(1)
     n = pl.num_programs(1)
@@ -101,33 +117,38 @@ def _kernel_h2v2(y_ref, cbc_ref, cba_ref, cbb_ref, crc_ref, cra_ref, crb_ref,
 
     cb4 = phases(cbc_ref, cba_ref, cbb_ref)
     cr4 = phases(crc_ref, cra_ref, crb_ref)
-    for p in range(4):
-        r, g, b = _color(y_ref[0, p], cb4[p], cr4[p])
-        r_ref[0, p] = r
-        g_ref[0, p] = g
-        b_ref[0, p] = b
+    # Phase order in y_ref matches _phase_split(y, 2, 2): (row, col) =
+    # (e,e), (e,o), (o,e), (o,o).
+    for rp, (pe, po) in enumerate(((0, 1), (2, 3))):
+        rgb = _color_u16pair(
+            y_ref[0, pe], y_ref[0, po],
+            cb4[pe], cb4[po], cr4[pe], cr4[po],
+        )
+        for c in range(3):
+            out_ref[0, c, rp] = rgb[c]
 
 
-def _kernel_h2v1(y_ref, cb_ref, cr_ref, r_ref, g_ref, b_ref):
-    """One strip of T rows; two column phases (biases 1/2, shift 2)."""
+def _kernel_h2v1(y_ref, cb_ref, cr_ref, out_ref):
+    """One strip of T rows; two column phases (biases 1/2, shift 2) ->
+    [3, T, Wc] uint16 column-packed RGB."""
     cb = cb_ref[0].astype(jnp.int32)
     cr = cr_ref[0].astype(jnp.int32)
     cb2 = ((3 * cb + _left(cb) + 1) >> 2, (3 * cb + _right(cb) + 2) >> 2)
     cr2 = ((3 * cr + _left(cr) + 1) >> 2, (3 * cr + _right(cr) + 2) >> 2)
-    for p in range(2):
-        r, g, b = _color(y_ref[0, p], cb2[p], cr2[p])
-        r_ref[0, p] = r
-        g_ref[0, p] = g
-        b_ref[0, p] = b
+    rgb = _color_u16pair(
+        y_ref[0, 0], y_ref[0, 1], cb2[0], cb2[1], cr2[0], cr2[1]
+    )
+    for c in range(3):
+        out_ref[0, c] = rgb[c]
 
 
-def _kernel_444(y_ref, cb_ref, cr_ref, r_ref, g_ref, b_ref):
+def _kernel_444(y_ref, cb_ref, cr_ref, out_ref):
     r, g, b = _color(
         y_ref[0], cb_ref[0].astype(jnp.int32), cr_ref[0].astype(jnp.int32)
     )
-    r_ref[0] = r
-    g_ref[0] = g
-    b_ref[0] = b
+    out_ref[0, 0] = r
+    out_ref[0, 1] = g
+    out_ref[0, 2] = b
 
 
 def _phase_split(y: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
@@ -157,29 +178,12 @@ def _phase_split(y: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
     return jnp.stack(phases, axis=1)
 
 
-def _phase_merge(ph_stack: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
-    """[N, C, ph*pw, H, W] -> [N, C, ph*H, pw*W] (inverse of _phase_split).
-
-    Column interleave rides a uint16 bit-pack + bitcast instead of a
-    transpose that leaves a trailing length-2 dim: XLA tiles u8 as
-    (8,128)(4,1), so a materialized [..., W, 2] copy pads the minor dim
-    2 -> 128 (64x memory — a 16K image's interleave allocated 48 GiB and
-    OOM'd HBM). The u16 pack keeps the minor dim full-width; the row
-    interleave's [.., H, 2, W2] intermediate pads only 2 -> 8."""
-    n, c, _, h, w = ph_stack.shape
-    x = ph_stack.reshape(n, c, ph, pw, h, w)
-    if pw == 2:
-        lo = x[:, :, :, 0].astype(jnp.uint16)
-        hi = x[:, :, :, 1].astype(jnp.uint16)
-        packed = lo | (hi << 8)  # [n, c, ph, h, w] u16
-        cols = jax.lax.bitcast_convert_type(packed, jnp.uint8).reshape(
-            n, c, ph, h, w * 2
-        )
-    else:
-        cols = x.reshape(n, c, ph, h, w * pw)
-    if ph == 2:
-        return cols.transpose(0, 1, 3, 2, 4).reshape(n, c, 2 * h, pw * w)
-    return cols.reshape(n, c, ph * h, pw * w)
+def _unpack_cols(packed: jnp.ndarray) -> jnp.ndarray:
+    """[..., W] uint16 column-packed (low byte = even col) -> [..., 2W]
+    uint8. A bitcast + contiguous merge: free (little-endian byte order
+    puts the even column first)."""
+    u8 = jax.lax.bitcast_convert_type(packed, jnp.uint8)
+    return u8.reshape(*packed.shape[:-1], packed.shape[-1] * 2)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -210,16 +214,23 @@ def upsample_color_h2v2_batch(y, cb, cr, interpret: bool = False):
     pspec = pl.BlockSpec(
         (1, 4, t2, wc), lambda b, i: (b, 0, i, 0), memory_space=pltpu.VMEM
     )
-    pshape = jax.ShapeDtypeStruct((n, 4, hc, wc), jnp.uint8)
-    r, g, b = pl.pallas_call(
+    ospec = pl.BlockSpec(
+        (1, 3, 2, t2, wc), lambda b, i: (b, 0, 0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
         _kernel_h2v2,
         grid=grid,
         in_specs=[pspec, center, above, below, center, above, below],
-        out_specs=(pspec, pspec, pspec),
-        out_shape=(pshape, pshape, pshape),
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((n, 3, 2, hc, wc), jnp.uint16),
         interpret=interpret,
     )(y4, cb, cb, cb, cr, cr, cr)
-    return _phase_merge(jnp.stack([r, g, b], axis=1), 2, 2)
+    # Row interleave: one copy ([N,3,2,Hc,Wc] -> row-major), then the
+    # column unpack is a free bitcast+merge. The old path paid three
+    # extra full-RGB passes here (stack, u16 pack, interleave source).
+    rows = out.transpose(0, 1, 3, 2, 4).reshape(n, 3, 2 * hc, wc)
+    return _unpack_cols(rows)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -236,16 +247,18 @@ def upsample_color_h2v1_batch(y, cb, cr, interpret: bool = False):
     pspec = pl.BlockSpec(
         (1, 2, t, wc), lambda b, i: (b, 0, i, 0), memory_space=pltpu.VMEM
     )
-    pshape = jax.ShapeDtypeStruct((n, 2, h, wc), jnp.uint8)
-    r, g, b = pl.pallas_call(
+    ospec = pl.BlockSpec(
+        (1, 3, t, wc), lambda b, i: (b, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
         _kernel_h2v1,
         grid=grid,
         in_specs=[pspec, cspec, cspec],
-        out_specs=(pspec, pspec, pspec),
-        out_shape=(pshape, pshape, pshape),
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((n, 3, h, wc), jnp.uint16),
         interpret=interpret,
     )(y2, cb, cr)
-    return _phase_merge(jnp.stack([r, g, b], axis=1), 1, 2)
+    return _unpack_cols(out)  # no row phases: unpack alone finishes
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -258,16 +271,17 @@ def color_444_batch(y, cb, cr, interpret: bool = False):
     spec = pl.BlockSpec(
         (1, t, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )
-    oshape = jax.ShapeDtypeStruct((n, h, w), jnp.uint8)
-    r, g, b = pl.pallas_call(
+    ospec = pl.BlockSpec(
+        (1, 3, t, w), lambda b, i: (b, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
         _kernel_444,
         grid=grid,
         in_specs=[spec, spec, spec],
-        out_specs=(spec, spec, spec),
-        out_shape=(oshape, oshape, oshape),
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((n, 3, h, w), jnp.uint8),
         interpret=interpret,
     )(y, cb, cr)
-    return jnp.stack([r, g, b], axis=1)
 
 
 # Single-image wrappers (N=1), keeping the original API.

@@ -130,6 +130,26 @@ def _select_tree(idx: jnp.ndarray, values: Sequence[int]) -> jnp.ndarray:
     return out
 
 
+def _select_bytes(idx: jnp.ndarray, values: Sequence[int]) -> jnp.ndarray:
+    """values[idx] for byte-sized values: pack 4 values per int32 so the
+    select tree is 4x shallower (63 selects for 256 entries instead of
+    255 — the tree was the single hottest op in the wavefront hot loop),
+    then extract the byte by (idx & 3). Bit-identical to _select_tree."""
+    assert len(values) % 4 == 0 and all(0 <= v <= 255 for v in values)
+    packed = [
+        values[i] | (values[i + 1] << 8) | (values[i + 2] << 16)
+        | (values[i + 3] << 24)
+        for i in range(0, len(values), 4)
+    ]
+    # Keep int32 range: bit 31 set means a negative python int32 literal.
+    packed = [p - (1 << 32) if p >= (1 << 31) else p for p in packed]
+    word = _select_tree(idx >> 2, packed)
+    sh = (idx & 3) << 3
+    # Arithmetic >> on possibly-negative words: the final & 0xFF masks
+    # the sign-extension away.
+    return (word >> sh) & 0xFF
+
+
 # ---------------------------------------------------------------------------
 # Plan
 # ---------------------------------------------------------------------------
@@ -410,31 +430,63 @@ def _window64(bits, cur, W):
     return win
 
 
-def _decode_symbol(bits, cur, tbl: CanonTable, W):
-    """One canonical Huffman symbol for every lane. Returns
-    (sym, code_len, window) — code_len 17 marks an invalid code."""
-    K = LANE_GROUP // SUBLANES
-    win = _window64(bits, cur, W)
-    length = jnp.full((SUBLANES, K), 17, jnp.int32)
-    # Walk lengths high to low so the SHORTEST valid length wins.
+def _decode_symbol_win(win, tbl: CanonTable):
+    """One canonical Huffman symbol for every lane from a ready 32-bit
+    window. Returns (sym, code_len) — code_len 17 marks an invalid
+    code."""
+    length = jnp.full(win.shape, 17, jnp.int32)
+    idx = jnp.zeros(win.shape, jnp.int32)
+    # Walk lengths high to low so the SHORTEST valid length wins; the
+    # huffval index (code + valoffset) rides along in the same pass.
     for l in range(16, 0, -1):
         if tbl.maxcode[l] < 0:
             continue
         peek = (win >> np.uint32(32 - l)).astype(jnp.int32)
-        length = jnp.where(peek <= tbl.maxcode[l], l, length)
-    # code bits at the selected length + valoffset[length].
-    code = jnp.zeros((SUBLANES, K), jnp.int32)
-    voff = jnp.zeros((SUBLANES, K), jnp.int32)
-    for l in range(1, 17):
-        if tbl.maxcode[l] < 0:
-            continue
-        peek = (win >> np.uint32(32 - l)).astype(jnp.int32)
-        sel = length == l
-        code = jnp.where(sel, peek, code)
-        voff = jnp.where(sel, tbl.valoffset[l], voff)
-    idx = jnp.clip(code + voff, 0, 255)
-    sym = _select_tree(idx, tbl.huffval)
+        sel = peek <= tbl.maxcode[l]
+        length = jnp.where(sel, l, length)
+        idx = jnp.where(sel, peek + tbl.valoffset[l], idx)
+    idx = jnp.clip(idx, 0, 255)
+    sym = _select_bytes(idx, tbl.huffval)
+    return sym, length
+
+
+def _decode_symbol(bits, cur, tbl: CanonTable, W):
+    """One canonical Huffman symbol for every lane. Returns
+    (sym, code_len, window) — code_len 17 marks an invalid code."""
+    win = _window64(bits, cur, W)
+    sym, length = _decode_symbol_win(win, tbl)
     return sym, length, win
+
+
+def _load_word(bits, w, W):
+    """bits[w] per lane ([8, K] int32 indices) via one-hot reduction."""
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (W, SUBLANES, LANE_GROUP // SUBLANES), 0
+    )
+    return jnp.sum((iota == w[None]).astype(jnp.int32) * bits, axis=0)
+
+
+def _win_from_regs(w0, w1, cur):
+    """32-bit window at `cur` from the register word pair (w0, w1) =
+    bits[cur>>5], bits[(cur>>5)+1] — no VMEM one-hot on the hot path."""
+    hi = jax.lax.bitcast_convert_type(w0, jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(w1, jnp.uint32)
+    sh = (cur & 31).astype(jnp.uint32)
+    return (hi << sh) | jnp.where(
+        sh == 0, jnp.uint32(0), lo >> (np.uint32(32) - sh)
+    )
+
+
+def _advance_regs(bits, w0, w1, cur, cur2, W):
+    """Slide the register pair after consuming cur2-cur (< 33) bits: at
+    most one word boundary is crossed per symbol (code<=17 + magnitude
+    <=15 bits), so w0 inherits w1 on a crossing and w1 reloads — ONE
+    one-hot load per symbol where the stateless window paid two."""
+    crossed = (cur2 >> 5) != (cur >> 5)
+    # When not crossed, (cur2>>5)+1 is w1's own index: the load returns
+    # w1 again, so the unconditional assignment is correct either way.
+    w1n = _load_word(bits, (cur2 >> 5) + 1, W)
+    return jnp.where(crossed, w1, w0), w1n
 
 
 def _receive_extend(win, length, size):
@@ -469,16 +521,11 @@ def _make_kernel(plan_static):
     B, blk_tables, W, n_mcus, emit, qsets = plan_static
     K = LANE_GROUP // SUBLANES
 
-    def window64(bits, cur):
-        return _window64(bits, cur, W)
-
-    def decode_symbol(bits, cur, tbl: CanonTable):
-        return _decode_symbol(bits, cur, tbl, W)
-
     receive_extend = _receive_extend
 
     def kernel(lane_m_ref, bits_ref, lane_q_ref, bit0_ref, out_ref,
-               err_ref, cur_ref, end_ref, pred_ref, err_acc_ref):
+               err_ref, cur_ref, end_ref, pred_ref, err_acc_ref,
+               w0_ref, w1_ref):
         m = pl.program_id(1)
         bits = bits_ref[0]          # [W, 8, K]
         lane_m = lane_m_ref[0]      # [8, K]
@@ -495,9 +542,12 @@ def _make_kernel(plan_static):
             # restart segments (rows start at marker boundaries), the
             # sub-word offset for no-restart streams split at arbitrary
             # skeleton-scan bit positions.
-            cur_ref[:] = bit0_ref[0]
+            c0 = bit0_ref[0]
+            cur_ref[:] = c0
             pred_ref[:] = jnp.zeros((4, SUBLANES, K), jnp.int32)
             err_acc_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+            w0_ref[:] = _load_word(bits, c0 >> 5, W)
+            w1_ref[:] = _load_word(bits, (c0 >> 5) + 1, W)
 
         active = m < lane_m          # [8, K] lanes that have this MCU
         kiota = jax.lax.broadcasted_iota(
@@ -507,17 +557,22 @@ def _make_kernel(plan_static):
         for b in range(B):
             ci, dct, act = blk_tables[b]
             cur = cur_ref[:]
+            w0 = w0_ref[:]
+            w1 = w1_ref[:]
             err = err_acc_ref[:]
             ok = active & (err == 0)
 
             # --- DC: one lockstep symbol for every lane. ---
-            t, dlen, win = decode_symbol(bits, cur, dct)
+            win = _win_from_regs(w0, w1, cur)
+            t, dlen = _decode_symbol_win(win, dct)
             bad = ok & ((dlen > 16) | (t > 15))
             t = jnp.where(t > 15, 0, t)
             diff = receive_extend(win, dlen, t)
             pred = pred_ref[ci] + jnp.where(ok, diff, 0)
             pred_ref[ci] = pred
-            cur = cur + jnp.where(ok, dlen + t, 0)
+            cur2 = cur + jnp.where(ok, dlen + t, 0)
+            w0, w1 = _advance_regs(bits, w0, w1, cur, cur2, W)
+            cur = cur2
             err = jnp.where(bad, _ERR_BADCODE, err)
 
             acc = jnp.where(
@@ -526,14 +581,15 @@ def _make_kernel(plan_static):
 
             # --- AC: while any lane's block is unfinished. ---
             def cond(st):
-                _cur, _k, _err, _acc, step = st
+                _cur, _w0, _w1, _k, _err, _acc, step = st
                 busy = ok & (_k < 64) & (_err == 0)
                 return jnp.any(busy) & (step < 64)
 
             def body(st):
-                _cur, _k, _err, _acc, step = st
+                _cur, _w0, _w1, _k, _err, _acc, step = st
                 busy = ok & (_k < 64) & (_err == 0)
-                rs, alen, awin = decode_symbol(bits, _cur, act)
+                awin = _win_from_regs(_w0, _w1, _cur)
+                rs, alen = _decode_symbol_win(awin, act)
                 badc = busy & (alen > 16)
                 run = rs >> 4
                 size = rs & 0x0F
@@ -546,7 +602,9 @@ def _make_kernel(plan_static):
                 _acc = _acc + jnp.where(
                     (kiota == nk[None]) & emit[None], val[None], 0
                 )
-                _cur = _cur + jnp.where(busy, alen + size, 0)
+                nc = _cur + jnp.where(busy, alen + size, 0)
+                _w0, _w1 = _advance_regs(bits, _w0, _w1, _cur, nc, W)
+                _cur = nc
                 _k = jnp.where(
                     busy,
                     jnp.where(
@@ -557,12 +615,14 @@ def _make_kernel(plan_static):
                 )
                 _err = jnp.where(badc, _ERR_BADCODE, _err)
                 _err = jnp.where(overrun, _ERR_RUN, _err)
-                return (_cur, _k, _err, _acc, step + 1)
+                return (_cur, _w0, _w1, _k, _err, _acc, step + 1)
 
             k0 = jnp.where(ok, 1, 64)  # done lanes skip the AC loop
-            cur, _k, err, acc, _ = jax.lax.while_loop(
-                cond, body, (cur, k0, err, acc, jnp.int32(0))
+            cur, w0, w1, _k, err, acc, _ = jax.lax.while_loop(
+                cond, body, (cur, w0, w1, k0, err, acc, jnp.int32(0))
             )
+            w0_ref[:] = w0
+            w1_ref[:] = w1
 
             if emit == "coeff":
                 out_ref[0, 0, b] = acc
@@ -634,10 +694,11 @@ def run_wavefront(
         bit0 = jnp.zeros((n_groups, SUBLANES, K), jnp.int32)
 
     def kernel(lane_m_ref, bits_ref, end_ref, lane_q_ref, bit0_ref,
-               out_ref, err_ref, cur_ref, pred_ref, err_acc_ref):
+               out_ref, err_ref, cur_ref, pred_ref, err_acc_ref,
+               w0_ref, w1_ref):
         base(
             lane_m_ref, bits_ref, lane_q_ref, bit0_ref, out_ref, err_ref,
-            cur_ref, end_ref, pred_ref, err_acc_ref,
+            cur_ref, end_ref, pred_ref, err_acc_ref, w0_ref, w1_ref,
         )
 
     grid = (n_groups, n_mcus)
@@ -697,6 +758,8 @@ def run_wavefront(
             pltpu.VMEM((SUBLANES, K), jnp.int32),      # cursor
             pltpu.VMEM((4, SUBLANES, K), jnp.int32),   # DC predictors
             pltpu.VMEM((SUBLANES, K), jnp.int32),      # error flags
+            pltpu.VMEM((SUBLANES, K), jnp.int32),      # window word 0
+            pltpu.VMEM((SUBLANES, K), jnp.int32),      # window word 1
         ],
         interpret=interpret,
     )(lane_m, bits, seg_bits, lane_qset, bit0)

@@ -46,8 +46,12 @@ from .wavefront_pallas import (
     _ERR_BADCODE,
     _ERR_RUN,
     _ERR_TRUNC,
+    _advance_regs,
     _decode_symbol,
+    _decode_symbol_win,
+    _load_word,
     _receive_extend,
+    _win_from_regs,
     _window64,
     failures_from_err,
 )
@@ -153,7 +157,7 @@ def _make_dc_first_kernel(static):
     n_sp = max(blk_sp) + 1
 
     def kernel(lane_m_ref, bits_ref, out_ref, err_ref, cur_ref, end_ref,
-               pred_ref, err_acc_ref):
+               pred_ref, err_acc_ref, w0_ref, w1_ref):
         m = pl.program_id(1)
         bits = bits_ref[0]
         lane_m = lane_m_ref[0]
@@ -163,6 +167,9 @@ def _make_dc_first_kernel(static):
             cur_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
             pred_ref[:] = jnp.zeros((4, SUBLANES, K), jnp.int32)
             err_acc_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+            zero = jnp.zeros((SUBLANES, K), jnp.int32)
+            w0_ref[:] = _load_word(bits, zero, W)
+            w1_ref[:] = _load_word(bits, zero + 1, W)
 
         active = m < lane_m
         for b in range(B):
@@ -170,13 +177,18 @@ def _make_dc_first_kernel(static):
             cur = cur_ref[:]
             err = err_acc_ref[:]
             ok = active & (err == 0)
-            t, dlen, win = _decode_symbol(bits, cur, dc_tbls[sp], W)
+            win = _win_from_regs(w0_ref[:], w1_ref[:], cur)
+            t, dlen = _decode_symbol_win(win, dc_tbls[sp])
             bad = ok & ((dlen > 16) | (t > 15))
             t = jnp.where(t > 15, 0, t)
             diff = _receive_extend(win, dlen, t)
             pred = pred_ref[sp] + jnp.where(ok, diff, 0)
             pred_ref[sp] = pred
-            cur_ref[:] = cur + jnp.where(ok, dlen + t, 0)
+            cur2 = cur + jnp.where(ok, dlen + t, 0)
+            w0_ref[:], w1_ref[:] = _advance_regs(
+                bits, w0_ref[:], w1_ref[:], cur, cur2, W
+            )
+            cur_ref[:] = cur2
             err_acc_ref[:] = jnp.where(bad, _ERR_BADCODE, err)
             out_ref[0, 0, b] = jnp.where(ok, pred << al, 0)
 
@@ -194,9 +206,9 @@ def _run_dc_first(bits, lane_m, seg_bits, static, n_groups, n_mcus,
     bits = jnp.transpose(bits, (0, 3, 1, 2))
 
     def kernel(lane_m_ref, bits_ref, end_ref, out_ref, err_ref,
-               cur_ref, pred_ref, err_acc_ref):
+               cur_ref, pred_ref, err_acc_ref, w0_ref, w1_ref):
         kern(lane_m_ref, bits_ref, out_ref, err_ref, cur_ref, end_ref,
-             pred_ref, err_acc_ref)
+             pred_ref, err_acc_ref, w0_ref, w1_ref)
 
     out, err = pl.pallas_call(
         kernel,
@@ -226,6 +238,8 @@ def _run_dc_first(bits, lane_m, seg_bits, static, n_groups, n_mcus,
             pltpu.VMEM((SUBLANES, K), jnp.int32),
             pltpu.VMEM((4, SUBLANES, K), jnp.int32),
             pltpu.VMEM((SUBLANES, K), jnp.int32),
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # window word 0
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # window word 1
         ],
         interpret=interpret,
     )(lane_m, bits, seg_bits)
@@ -259,7 +273,7 @@ def _make_ac_first_kernel(static):
     (ac_tbl,), W, ss, se, al = static
 
     def kernel(lane_m_ref, bits_ref, out_ref, err_ref, cur_ref, end_ref,
-               eob_ref, err_acc_ref):
+               eob_ref, err_acc_ref, w0_ref, w1_ref):
         m = pl.program_id(1)
         bits = bits_ref[0]
         lane_m = lane_m_ref[0]
@@ -269,6 +283,9 @@ def _make_ac_first_kernel(static):
             cur_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
             eob_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
             err_acc_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+            zero = jnp.zeros((SUBLANES, K), jnp.int32)
+            w0_ref[:] = _load_word(bits, zero, W)
+            w1_ref[:] = _load_word(bits, zero + 1, W)
 
         active = m < lane_m
         kiota = jax.lax.broadcasted_iota(jnp.int32, (64, SUBLANES, K), 0)
@@ -285,14 +302,15 @@ def _make_ac_first_kernel(static):
         k0 = jnp.where(busy0, ss, 65)
 
         def cond(st):
-            _cur, _k, _err, _eob, _acc, step = st
+            _cur, _w0, _w1, _k, _err, _eob, _acc, step = st
             busy = busy0 & (_k <= se) & (_err == 0)
             return jnp.any(busy) & (step < 80)
 
         def body(st):
-            _cur, _k, _err, _eob, _acc, step = st
+            _cur, _w0, _w1, _k, _err, _eob, _acc, step = st
             busy = busy0 & (_k <= se) & (_err == 0)
-            rs, alen, win = _decode_symbol(bits, _cur, ac_tbl, W)
+            win = _win_from_regs(_w0, _w1, _cur)
+            rs, alen = _decode_symbol_win(win, ac_tbl)
             badc = busy & (alen > 16)
             r = rs >> 4
             s = rs & 0x0F
@@ -311,7 +329,9 @@ def _make_ac_first_kernel(static):
             consumed = alen + jnp.where(
                 s > 0, s, jnp.where(is_eob, r, 0)
             )
-            _cur = _cur + jnp.where(busy, consumed, 0)
+            nc = _cur + jnp.where(busy, consumed, 0)
+            _w0, _w1 = _advance_regs(bits, _w0, _w1, _cur, nc, W)
+            _cur = nc
             _k = jnp.where(
                 busy,
                 jnp.where(is_eob, 65, jnp.where(is_zrl, _k + 16, nk + 1)),
@@ -319,14 +339,17 @@ def _make_ac_first_kernel(static):
             )
             _err = jnp.where(badc, _ERR_BADCODE, _err)
             _err = jnp.where(over, _ERR_RUN, _err)
-            return (_cur, _k, _err, _eob, _acc, step + 1)
+            return (_cur, _w0, _w1, _k, _err, _eob, _acc, step + 1)
 
-        cur, _k, err, eob, acc, _ = jax.lax.while_loop(
-            cond, body, (cur, k0, err, eob, acc, jnp.int32(0))
+        cur, w0, w1, _k, err, eob, acc, _ = jax.lax.while_loop(
+            cond, body,
+            (cur, w0_ref[:], w1_ref[:], k0, err, eob, acc, jnp.int32(0)),
         )
 
         out_ref[0, 0] = acc
         cur_ref[:] = cur
+        w0_ref[:] = w0
+        w1_ref[:] = w1
         eob_ref[:] = eob
         err_acc_ref[:] = err
 
@@ -343,9 +366,9 @@ def _run_ac_first(bits, lane_m, seg_bits, static, n_groups, n_mcus,
     bits = jnp.transpose(bits, (0, 3, 1, 2))
 
     def kernel(lane_m_ref, bits_ref, end_ref, out_ref, err_ref,
-               cur_ref, eob_ref, err_acc_ref):
+               cur_ref, eob_ref, err_acc_ref, w0_ref, w1_ref):
         kern(lane_m_ref, bits_ref, out_ref, err_ref, cur_ref, end_ref,
-             eob_ref, err_acc_ref)
+             eob_ref, err_acc_ref, w0_ref, w1_ref)
 
     out, err = pl.pallas_call(
         kernel,
@@ -375,6 +398,8 @@ def _run_ac_first(bits, lane_m, seg_bits, static, n_groups, n_mcus,
             pltpu.VMEM((SUBLANES, K), jnp.int32),  # cursor
             pltpu.VMEM((SUBLANES, K), jnp.int32),  # EOB run
             pltpu.VMEM((SUBLANES, K), jnp.int32),  # error flags
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # window word 0
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # window word 1
         ],
         interpret=interpret,
     )(lane_m, bits, seg_bits)
@@ -403,7 +428,7 @@ def _make_ac_refine_kernel(static):
     m1 = (-1) << al
 
     def kernel(lane_m_ref, bits_ref, prior_ref, out_ref, err_ref,
-               cur_ref, end_ref, eob_ref, err_acc_ref):
+               cur_ref, end_ref, eob_ref, err_acc_ref, w0_ref, w1_ref):
         m = pl.program_id(1)
         bits = bits_ref[0]
         lane_m = lane_m_ref[0]
@@ -413,6 +438,9 @@ def _make_ac_refine_kernel(static):
             cur_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
             eob_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
             err_acc_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+            zero = jnp.zeros((SUBLANES, K), jnp.int32)
+            w0_ref[:] = _load_word(bits, zero, W)
+            w1_ref[:] = _load_word(bits, zero + 1, W)
 
         active = m < lane_m
         kiota = jax.lax.broadcasted_iota(jnp.int32, (64, SUBLANES, K), 0)
@@ -434,6 +462,8 @@ def _make_ac_refine_kernel(static):
 
         st0 = (
             cur,
+            w0_ref[:],
+            w1_ref[:],
             jnp.full((SUBLANES, K), ss, jnp.int32),   # k
             jnp.zeros((SUBLANES, K), jnp.int32),      # r (zero-run left)
             jnp.zeros((SUBLANES, K), jnp.int32),      # s flag (insert?)
@@ -446,16 +476,22 @@ def _make_ac_refine_kernel(static):
         )
 
         def cond(st):
-            return jnp.any(st[6] != _PH_DONE) & (st[9] < 224)
+            return jnp.any(st[8] != _PH_DONE) & (st[11] < 224)
 
         def body(st):
-            (cur, k, r, s, val, eob, ph, err, upd, step) = st
-            win = _window64(bits, cur, W)
+            (cur, rw0, rw1, k, r, s, val, eob, ph, err, upd, step) = st
+            cur0 = cur
+            # ONE register window serves all three phases: a lane is in
+            # exactly one phase, and only its own branch advances cur,
+            # so every phase reads bits at the same cur it entered with
+            # (the old form recomputed three one-hot windows here).
+            win = _win_from_regs(rw0, rw1, cur)
             top_bit = (win >> np.uint32(31)).astype(jnp.int32)
 
             # --- DECODE lanes: one (run,size)/EOBn symbol. ---
             dec = ph == _PH_DECODE
-            rs, alen, _w = _decode_symbol(bits, cur, ac_tbl, W)
+            rs, alen = _decode_symbol_win(win, ac_tbl)
+            _w = win
             badc = dec & (alen > 16)
             dr = rs >> 4
             ds = rs & 0x0F
@@ -534,8 +570,9 @@ def _make_ac_refine_kernel(static):
             )
             nz_t = cv_t != 0
             t_corr = tail & t_in & nz_t
-            win_t = _window64(bits, cur, W)
-            bit_t = (win_t >> np.uint32(31)).astype(jnp.int32)
+            # Tail lanes' cur is untouched by the branches above, so the
+            # shared window still holds their next bit.
+            bit_t = top_bit
             do_fix_t = t_corr & (bit_t > 0) & ((cv_t & p1) == 0)
             delta_t = jnp.where(cv_t >= 0, p1, m1)
             upd = upd + jnp.where(
@@ -550,13 +587,20 @@ def _make_ac_refine_kernel(static):
             # Errored lanes freeze immediately.
             ph = jnp.where(err != 0, _PH_DONE, ph)
 
-            return (cur, k, r, s, val, eob, ph, err, upd, step + 1)
+            # Per-body consumption: DECODE <= 17+1+14, ADVANCE/TAIL <= 1
+            # — all under 32 bits, the register-slide invariant.
+            rw0, rw1 = _advance_regs(bits, rw0, rw1, cur0, cur, W)
 
-        (cur, _k, _r, _s, _v, eob, _ph, err, upd, _steps) = (
+            return (cur, rw0, rw1, k, r, s, val, eob, ph, err, upd,
+                    step + 1)
+
+        (cur, w0, w1, _k, _r, _s, _v, eob, _ph, err, upd, _steps) = (
             jax.lax.while_loop(cond, body, st0)
         )
 
         out_ref[0, 0] = upd
+        w0_ref[:] = w0
+        w1_ref[:] = w1
         cur_ref[:] = cur
         eob_ref[:] = eob
         err_acc_ref[:] = err
@@ -574,9 +618,9 @@ def _run_ac_refine(bits, lane_m, seg_bits, prior, static, n_groups,
     bits = jnp.transpose(bits, (0, 3, 1, 2))
 
     def kernel(lane_m_ref, bits_ref, end_ref, prior_ref, out_ref,
-               err_ref, cur_ref, eob_ref, err_acc_ref):
+               err_ref, cur_ref, eob_ref, err_acc_ref, w0_ref, w1_ref):
         kern(lane_m_ref, bits_ref, prior_ref, out_ref, err_ref, cur_ref,
-             end_ref, eob_ref, err_acc_ref)
+             end_ref, eob_ref, err_acc_ref, w0_ref, w1_ref)
 
     out, err = pl.pallas_call(
         kernel,
@@ -609,6 +653,8 @@ def _run_ac_refine(bits, lane_m, seg_bits, prior, static, n_groups,
             pltpu.VMEM((SUBLANES, K), jnp.int32),
             pltpu.VMEM((SUBLANES, K), jnp.int32),
             pltpu.VMEM((SUBLANES, K), jnp.int32),
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # window word 0
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # window word 1
         ],
         interpret=interpret,
     )(lane_m, bits, seg_bits, prior)

@@ -319,12 +319,16 @@ def build_block_plan(
         raise JpegUnsupportedError(
             f"pallas wavefront: segment too long ({max_words} words)"
         )
-    # Quantize the row width to 64-word buckets: W is the max *stuffed*
+    # Quantize the row width to 32-word buckets: W is the max *stuffed*
     # segment length, which jitters with image content, and W is a
     # static shape in the jitted chain — without bucketing, every chunk
     # of a stream would compile its own program (minutes each through a
-    # remote-compile backend). 64 words = 256 B of VMEM per lane row.
-    max_words = min(-(-max_words // 64) * 64, MAX_WORDS)
+    # remote-compile backend). The bucket also prices the kernel's
+    # per-symbol word load, which walks all W words per lane (one-hot),
+    # so a tight bucket is chip time: 64-word buckets cost the q85
+    # bench corpus (~94-word segments) a 128-word walk, 36% more than
+    # the 96 words a 32-bucket gives it.
+    max_words = min(-(-max_words // 32) * 32, MAX_WORDS)
 
     lane_meta = np.concatenate(lane_meta, axis=0)
     L = len(lane_meta)
@@ -1397,7 +1401,7 @@ def build_norst_plan(
         start_words = (offs[:-1] >> 5).astype(np.int64)
         end_rel = offs[1:] - (start_words << 5)
         W = int(-(-int(end_rel.max()) // 32)) + 1
-        W = min(-(-W // 64) * 64, MAX_WORDS + 64)
+        W = min(-(-W // 32) * 32, MAX_WORDS + 32)
         if W <= MAX_WORDS or every == 1:
             break
         every = snap_divisor(every // 2)

@@ -86,7 +86,7 @@ class ProgPlan:
         starts_r = np.concatenate([[0], ro + 2])
         stuffed = offs_r - starts_r
         W = int(stuffed.max()) // 4 + 2 if n_seg else 2
-        W = min(-(-W // 64) * 64, MAX_WORDS + 64)
+        W = min(-(-W // 32) * 32, MAX_WORDS + 32)
         if W > MAX_WORDS:
             raise JpegUnsupportedError(
                 f"progressive segment too long ({W} words)"

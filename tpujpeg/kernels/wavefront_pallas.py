@@ -300,7 +300,7 @@ def build_block_plan(
         offs_r = np.concatenate([ro, [len(scan.data)]])
         starts_r = np.concatenate([[0], ro + 2])
         stuffed = offs_r - starts_r
-        seg_rows.append(scan)
+        seg_rows.append((scan, n_seg))
         fm = np.arange(n_seg, dtype=np.int64) * ri
         nm = np.minimum(ri, total_mcus - fm).astype(np.int32)
         lane_meta.append(
@@ -347,8 +347,7 @@ def build_block_plan(
 
         native_entropy.destuff_rows  # force the lazy lib build early
         lane0 = 0
-        for img_i, scan in enumerate(seg_rows):
-            n_seg = int(np.sum(lane_meta[:, 0] == img_i))
+        for scan, n_seg in seg_rows:
             native_entropy.destuff_rows(
                 scan, n_seg, W,
                 bits_flat[lane0 : lane0 + n_seg],
@@ -363,8 +362,7 @@ def build_block_plan(
         raise
     except Exception:
         lane0 = 0
-        for img_i, scan in enumerate(seg_rows):
-            n_seg = int(np.sum(lane_meta[:, 0] == img_i))
+        for scan, n_seg in seg_rows:
             pieces = bitstream.split_restart_segments(scan)[:n_seg]
             lens = np.asarray([len(pc) for pc in pieces], np.int64)
             rows_u8 = np.full((n_seg, W * 4), 0xFF, np.uint8)

@@ -114,3 +114,93 @@ def test_batch_on_device_mixed_progressive_and_baseline():
         np.testing.assert_array_equal(
             np.asarray(img), np.asarray(Image.open(io.BytesIO(d)))
         )
+
+
+def test_prog_batch_matches_oracle_shared_tables():
+    """Cross-image batched scans: a group whose members share tables
+    (libjpeg emits per-image OPTIMIZED tables for progressive, so in
+    practice that means duplicated assets or fixed-table encoders)
+    decodes in shared launches, each member bit-exact vs the oracle.
+    Members are parsed separately so lane plumbing — not object
+    identity — carries the result."""
+    data = make_jpeg(128, 96, seed=31, progressive=True, subsampling=2,
+                     restart_blocks=8)
+    jpegs = [bitstream.parse(data) for _ in range(3)]
+    assert len({wprog.scan_group_key(j) for j in jpegs}) == 1
+    states, failures = wprog.decode_all_scans_batch(jpegs)
+    assert not failures
+    ref = huffman.decode_all_scans(jpegs[0])
+    for i in range(3):
+        for ci, (a, b) in enumerate(zip(ref, states[i])):
+            np.testing.assert_array_equal(
+                a, np.asarray(b), err_msg=f"img {i} comp {ci}"
+            )
+
+
+def test_prog_batch_per_image_tables_split_groups():
+    """Different-content progressive files carry per-image optimized
+    tables, so they must land in separate groups — and still decode
+    correctly through the grouped dispatcher as singletons."""
+    datas = [
+        make_jpeg(128, 96, seed=31, progressive=True, subsampling=2,
+                  restart_blocks=8),
+        make_jpeg(128, 96, seed=32, progressive=True, subsampling=2,
+                  restart_blocks=8),
+    ]
+    jpegs = [bitstream.parse(d) for d in datas]
+    assert len({wprog.scan_group_key(j) for j in jpegs}) == 2
+    res = tpujpeg.decode_batch_on_device(datas)
+    assert not res.errors
+    for d, img in zip(datas, res.images):
+        np.testing.assert_array_equal(np.asarray(img), pil_decode(d))
+
+
+def test_prog_batch_bad_image_poisons_only_itself():
+    """A corrupted member's lanes error; the other members of the group
+    still decode bit-exactly (per-image fault isolation inside one
+    launch)."""
+    good = make_jpeg(96, 96, seed=51, progressive=True, subsampling=2,
+                     restart_blocks=8)
+    bad = bytearray(make_jpeg(96, 96, seed=51, progressive=True,
+                              subsampling=2, restart_blocks=8))
+    jpeg_probe = bitstream.parse(bytes(bad))
+    # Zero one AC-first scan's entropy payload in the FILE so both
+    # members still parse to the same scan structure.
+    target = None
+    for s in jpeg_probe.scans:
+        if s.ss != 0 and s.ah == 0 and len(s.data) > 64:
+            target = s
+            break
+    assert target is not None
+    start = bytes(bad).find(target.data)
+    assert start > 0
+    bad[start : start + 48] = bytes(48)
+    datas = [good, bytes(bad)]
+    res = tpujpeg.decode_batch_on_device(datas)
+    # The good image must decode exactly regardless of its groupmate.
+    np.testing.assert_array_equal(
+        np.asarray(res.images[0]), pil_decode(good)
+    )
+    # The bad one either surfaced an error or produced (wrong) pixels —
+    # defined behavior, never a crash or a poisoned neighbor.
+    assert (1 in res.errors) or (res.images[1] is not None)
+
+
+def test_batch_on_device_groups_progressive():
+    """Same-structure progressive members decode through the grouped
+    path and all come back bit-exact."""
+    datas = [
+        make_jpeg(96, 80, seed=61 + i, progressive=True, subsampling=2,
+                  restart_blocks=8)
+        for i in range(3)
+    ] + [
+        make_jpeg(64, 64, seed=70, mode="L", progressive=True,
+                  restart_blocks=4)
+    ]
+    res = tpujpeg.decode_batch_on_device(datas)
+    assert not res.errors
+    for d, img in zip(datas, res.images):
+        np.testing.assert_array_equal(np.asarray(img), pil_decode(d))
+    assert all(
+        s.entropy_engine == "wavefront-prog" for s in res.stats if s
+    )

@@ -1,0 +1,188 @@
+"""Chip-side cost split for device progressive decode: raw scan kernels
+vs the full per-scan path (kernels + lane<->grid conversions + state
+updates) vs the final Pallas transform. Drives the decision of where the
+next progressive optimization goes (CLAUDE.md round-3 candidates).
+
+Usage: python tools/prog_profile.py   -> one JSON line.
+Env: PROG_SIZE (default 4096), PROG_RST_BLOCKS (default 4).
+"""
+
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    from corpus import make_jpeg
+
+    size = int(os.environ.get("PROG_SIZE", "4096"))
+    rst = int(os.environ.get("PROG_RST_BLOCKS", "4"))
+    data = make_jpeg(size, size, seed=17, quality=85, subsampling=2,
+                     progressive=True, restart_blocks=rst)
+    mp = size * size / 1e6
+
+    import jax
+    import jax.numpy as jnp
+    from tpujpeg import bitstream
+    from tpujpeg.config import DecodeConfig
+    from tpujpeg.kernels import pipeline as kernel_pipeline
+    from tpujpeg.kernels import wavefront_prog as wprog
+
+    cfg = DecodeConfig(transform_engine="pallas")
+    interpret = jax.default_backend() != "tpu"
+
+    jpeg = bitstream.parse(data)
+    jpegs = [jpeg]
+    frame = jpeg.frame
+    n_scans = len(jpeg.scans)
+    plans = [
+        None if jpeg.scans[k].ss == 0 and jpeg.scans[k].ah != 0
+        else wprog.ScanPlan(jpegs, k)
+        for k in range(n_scans)
+    ]
+    for p in plans:
+        if p is not None:
+            wprog.stage_plan(p)
+            _ = np.asarray(p.lane_m)[:1]
+
+    # Sync discipline: a tiny device-side reduction whose readback
+    # forces completion — reading the full array would measure the
+    # ~33 MB/s relay, not the chip (CLAUDE.md).
+    _scal = jax.jit(lambda x: jnp.sum(x.reshape(-1)[:8].astype(jnp.int32)))
+
+    def sync(x):
+        return int(_scal(x))
+
+    # --- A: raw scan kernels only (no conversions, no state updates).
+    def kernels_only():
+        outs = []
+        for k, plan in enumerate(plans):
+            scan = jpeg.scans[k]
+            if plan is None:
+                continue
+            is_dc = scan.ss == 0
+            if is_dc:
+                blk_sp = []
+                for sp, ci in enumerate(scan.comp_indices):
+                    c = frame.components[ci]
+                    blk_sp += [sp] * (c.h * c.v)
+                static = (
+                    tuple(blk_sp), wprog._tables_for_scan(scan, dc=True),
+                    plan.n_words, scan.al,
+                )
+                out, err = wprog.run_dc_first_jit(
+                    jnp.asarray(plan.bits), jnp.asarray(plan.lane_m),
+                    jnp.asarray(plan.seg_bits), static, plan.n_groups,
+                    plan.n_mcus, interpret,
+                )
+            else:
+                static = (
+                    wprog._tables_for_scan(scan, dc=False), plan.n_words,
+                    scan.ss, scan.se, scan.al,
+                )
+                if scan.ah == 0:
+                    out, err = wprog.run_ac_first_jit(
+                        jnp.asarray(plan.bits), jnp.asarray(plan.lane_m),
+                        jnp.asarray(plan.seg_bits), static, plan.n_groups,
+                        plan.n_mcus, interpret,
+                    )
+                else:
+                    prior = jnp.zeros(
+                        (plan.n_groups, plan.n_mcus, 64, 8,
+                         plan.bits.shape[2]),
+                        jnp.int32,
+                    )
+                    out, err = wprog.run_ac_refine_jit(
+                        jnp.asarray(plan.bits), jnp.asarray(plan.lane_m),
+                        jnp.asarray(plan.seg_bits), prior, static,
+                        plan.n_groups, plan.n_mcus, interpret,
+                    )
+            outs.append(err)
+        return outs
+
+    outs = kernels_only()
+    for e in outs:
+        sync(e)
+    t0 = time.perf_counter()
+    outs = kernels_only()
+    for e in outs:
+        sync(e)
+    t_kernels = time.perf_counter() - t0
+
+    # --- B: the full per-scan path (entropy state machine end-to-end).
+    def full_entropy():
+        states = [
+            [
+                jnp.zeros((c.padded_hb * c.padded_wb, 64), jnp.int32)
+                for c in frame.components
+            ]
+        ]
+        errs = []
+        for k in range(n_scans):
+            wprog.apply_scan_batch(
+                jpegs, k, states, interpret, plan=plans[k], errs_out=errs
+            )
+        return states[0], errs
+
+    state, errs = full_entropy()
+    for ci in range(frame.n_components):
+        sync(state[ci])
+    t0 = time.perf_counter()
+    state, errs = full_entropy()
+    for ci in range(frame.n_components):
+        sync(state[ci])
+    t_full = time.perf_counter() - t0
+
+    # --- C: transform from device-resident coefficients.
+    qtabs = [jnp.asarray(jpeg.qtables[c.tq]) for c in frame.components]
+
+    def transform():
+        return kernel_pipeline.transform_batch(
+            frame, [s[None] for s in state], qtabs, cfg
+        )
+
+    rgb = transform()
+    sync(rgb)
+    t0 = time.perf_counter()
+    rgb = transform()
+    sync(rgb)
+    t_transform = time.perf_counter() - t0
+
+    exact = None
+    try:
+        from PIL import Image
+
+        exact = bool(
+            np.array_equal(
+                np.asarray(rgb[0]),
+                np.asarray(Image.open(io.BytesIO(data))),
+            )
+        )
+    except Exception:
+        pass
+
+    print(
+        json.dumps(
+            {
+                "metric": f"prog_profile_{size}x{size}",
+                "scan_kernels_s": round(t_kernels, 4),
+                "full_entropy_s": round(t_full, 4),
+                "conversion_overhead_s": round(t_full - t_kernels, 4),
+                "transform_s": round(t_transform, 4),
+                "total_mp_per_s": round(mp / (t_full + t_transform), 1),
+                "bit_exact_vs_pil": exact,
+                "platform": __import__("jax").devices()[0].platform,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -60,80 +60,113 @@ K = LANE_GROUP // SUBLANES
 
 
 # ---------------------------------------------------------------------------
-# Per-scan plan: restart segments -> lane rows (same layout as baseline)
+# Per-scan plan: restart segments -> lane rows (same layout as baseline).
+# Batch-first: a ScanPlan covers scan index k of a GROUP of images whose
+# scan scripts match — every image's restart segments become lanes of ONE
+# kernel launch, so a batch of progressive files pays one dispatch per
+# scan index instead of one per (image, scan).
 # ---------------------------------------------------------------------------
 
 
-class ProgPlan:
-    def __init__(self, jpeg, scan):
-        frame = jpeg.frame
-        if scan.interleaved:
-            total = frame.mcus_x * frame.mcus_y
-        else:
-            c0 = frame.components[scan.comp_indices[0]]
-            total = c0.width_blocks * c0.height_blocks
-        ri = scan.restart_interval or total
-        n_seg = -(-total // ri)
-        if len(scan.rst_offsets) + 1 < n_seg:
-            raise JpegTruncatedError("missing restart segments")
-        if n_seg == 1 and total > 1 and len(scan.data) > MAX_WORDS * 4 - 8:
-            raise JpegUnsupportedError(
-                "progressive scan without restart segmentation"
-            )
+def _seg_geometry(jpeg, scan):
+    """(total_mcus, restart_interval, n_segments) for one scan, with the
+    same validity checks every device-progressive path needs."""
+    frame = jpeg.frame
+    if scan.interleaved:
+        total = frame.mcus_x * frame.mcus_y
+    else:
+        c0 = frame.components[scan.comp_indices[0]]
+        total = c0.width_blocks * c0.height_blocks
+    ri = scan.restart_interval or total
+    n_seg = -(-total // ri)
+    if len(scan.rst_offsets) + 1 < n_seg:
+        raise JpegTruncatedError("missing restart segments")
+    if n_seg == 1 and total > 1 and len(scan.data) > MAX_WORDS * 4 - 8:
+        raise JpegUnsupportedError(
+            "progressive scan without restart segmentation"
+        )
+    return total, ri, n_seg
 
-        ro = np.asarray(scan.rst_offsets[: n_seg - 1], dtype=np.int64)
-        offs_r = np.concatenate([ro, [len(scan.data)]])
-        starts_r = np.concatenate([[0], ro + 2])
-        stuffed = offs_r - starts_r
-        W = int(stuffed.max()) // 4 + 2 if n_seg else 2
+
+def _stuffed_width(scan, n_seg) -> int:
+    """Word row width that fits the longest (stuffed) segment."""
+    ro = np.asarray(scan.rst_offsets[: n_seg - 1], dtype=np.int64)
+    offs_r = np.concatenate([ro, [len(scan.data)]])
+    starts_r = np.concatenate([[0], ro + 2])
+    stuffed = offs_r - starts_r
+    return int(stuffed.max()) // 4 + 2 if n_seg else 2
+
+
+def _fill_rows(scan, n_seg, W, out_words, out_bits) -> None:
+    """Destuff one scan's segments into fixed-width word rows (native
+    fast path, pure-python fallback)."""
+    try:
+        from ..native import entropy as native_entropy
+
+        native_entropy.destuff_rows  # force lazy build
+        native_entropy.destuff_rows(scan, n_seg, W, out_words, out_bits)
+    except JpegSyntaxError:
+        raise
+    except Exception:
+        pieces = bitstream.split_restart_segments(scan)[:n_seg]
+        lens = np.asarray([len(pc) for pc in pieces], np.int64)
+        rows_u8 = np.full((n_seg, W * 4), 0xFF, np.uint8)
+        mask = np.arange(W * 4, dtype=np.int64)[None, :] < lens[:, None]
+        rows_u8[mask] = np.frombuffer(b"".join(pieces), np.uint8)
+        out_words[:] = rows_u8.view(">u4").astype(np.uint32).view(np.int32)
+        out_bits[:] = (lens * 8).astype(np.int32)
+
+
+class ScanPlan:
+    """Lane plan for scan index k across a group of images. Lanes are
+    image-major (image i's segments are contiguous); `img_view[i]` is
+    (lane0, n_seg, rows, total_mcus) for slicing kernel outputs back to
+    per-image block grids."""
+
+    def __init__(self, jpegs, k: int):
+        geo = [_seg_geometry(j, j.scans[k]) for j in jpegs]
+        W = 2
+        for j, (_total, _ri, n_seg) in zip(jpegs, geo):
+            W = max(W, _stuffed_width(j.scans[k], n_seg))
         W = min(-(-W // 32) * 32, MAX_WORDS + 32)
         if W > MAX_WORDS:
             raise JpegUnsupportedError(
                 f"progressive segment too long ({W} words)"
             )
 
-        L = n_seg
+        L = sum(n_seg for (_t, _r, n_seg) in geo)
         G = -(-L // LANE_GROUP)
         bits_flat = np.empty((G * LANE_GROUP, W), dtype=np.int32)
         seg_bits = np.zeros(G * LANE_GROUP, dtype=np.int32)
-        try:
-            from ..native import entropy as native_entropy
-
-            native_entropy.destuff_rows  # force lazy build
-            native_entropy.destuff_rows(
-                scan, n_seg, W, bits_flat[:n_seg], seg_bits[:n_seg]
-            )
-        except JpegSyntaxError:
-            raise
-        except Exception:
-            pieces = bitstream.split_restart_segments(scan)[:n_seg]
-            lens = np.asarray([len(pc) for pc in pieces], np.int64)
-            rows_u8 = np.full((n_seg, W * 4), 0xFF, np.uint8)
-            mask = np.arange(W * 4, dtype=np.int64)[None, :] < lens[:, None]
-            rows_u8[mask] = np.frombuffer(b"".join(pieces), np.uint8)
-            bits_flat[:n_seg] = (
-                rows_u8.view(">u4").astype(np.uint32).view(np.int32)
-            )
-            seg_bits[:n_seg] = (lens * 8).astype(np.int32)
-        bits_flat[n_seg:] = -1
-
-        fm = np.arange(L, dtype=np.int64) * ri
-        nm = np.minimum(ri, total - fm).astype(np.int32)
         lm = np.zeros(G * LANE_GROUP, np.int32)
-        lm[:L] = nm
+        meta = np.zeros((L, 3), np.int32)
+        self.img_view = []
+        lane0 = 0
+        for ii, (j, (total, ri, n_seg)) in enumerate(zip(jpegs, geo)):
+            scan = j.scans[k]
+            _fill_rows(
+                scan, n_seg, W,
+                bits_flat[lane0 : lane0 + n_seg],
+                seg_bits[lane0 : lane0 + n_seg],
+            )
+            fm = np.arange(n_seg, dtype=np.int64) * ri
+            nm = np.minimum(ri, total - fm).astype(np.int32)
+            lm[lane0 : lane0 + n_seg] = nm
+            meta[lane0 : lane0 + n_seg, 0] = ii
+            meta[lane0 : lane0 + n_seg, 1] = fm.astype(np.int32)
+            meta[lane0 : lane0 + n_seg, 2] = nm
+            self.img_view.append((lane0, n_seg, min(ri, total), total))
+            lane0 += n_seg
+        bits_flat[lane0:] = -1
 
         self.bits = bits_flat.reshape(G, SUBLANES, K, W)
         self.seg_bits = seg_bits.reshape(G, SUBLANES, K)
         self.lane_m = lm.reshape(G, SUBLANES, K)
-        self.lane_meta = np.stack(
-            [np.zeros(L, np.int32), fm.astype(np.int32), nm], axis=1
-        )
+        self.lane_meta = meta
         self.n_groups = G
         self.n_lanes = L
         self.n_words = W
-        self.n_mcus = int(nm.max()) if L else 0
-        self.total_mcus = total
-        self.rows = min(ri, total)
+        self.n_mcus = int(lm.max()) if L else 0
 
 
 def _tables_for_scan(scan, dc: bool) -> Tuple:
@@ -668,37 +701,48 @@ run_ac_refine_jit = jax.jit(
 
 
 # ---------------------------------------------------------------------------
-# Lane-layout <-> grid-layout conversions (single non-interleaved comp)
+# Lane-layout <-> grid-layout conversions
 # ---------------------------------------------------------------------------
 
 
-def _lanes_to_grid(plan: ProgPlan, out, c):
-    """[G, M, 64, 8, K] kernel output -> [height_blocks, width_blocks, 64].
-    (M, 64) merge before the transpose keeps the minor dim a 128-multiple
+def _flat_lanes(out, G: int, M: int, B: int):
+    """[G, M, B, 8, K] kernel output -> [G*LANE_GROUP, M, B] lane-major.
+    (M, B) merge before the transpose keeps the minor dim a 128-multiple
     — separate tiny minor dims get tile-padded up to 64x when XLA
     materializes the copy (see wavefront_pallas.assemble_pixels)."""
-    G, M = plan.n_groups, plan.n_mcus
-    flat = (
-        out.reshape(G, M * 64, SUBLANES, K)
+    return (
+        out.reshape(G, M * B, SUBLANES, K)
         .transpose(0, 2, 3, 1)
-        .reshape(G * LANE_GROUP, M, 64)
+        .reshape(G * LANE_GROUP, M, B)
     )
-    flat = flat[: plan.n_lanes, : plan.rows].reshape(-1, 64)
-    flat = flat[: plan.total_mcus]
-    return flat.reshape(c.height_blocks, c.width_blocks, 64)
 
 
-def _grid_to_lanes(plan: ProgPlan, grid, c):
-    """[height_blocks, width_blocks, 64] -> [G, M, 64, 8, K] input."""
+def _img_lanes(plan: ScanPlan, flat, img_i: int, B: int):
+    """Slice one image's [total_mcus, B] from the lane-major output."""
+    lane0, n_seg, rows, total = plan.img_view[img_i]
+    sub = flat[lane0 : lane0 + n_seg, :rows].reshape(-1, B)
+    return sub[:total]
+
+
+def _grids_to_lanes(plan: ScanPlan, grids):
+    """Per-image [height_blocks, width_blocks, 64] grids -> one
+    [G, M, 64, 8, K] kernel input (the AC-refine prior). Images' lanes
+    are contiguous, so this is a concat, not a scatter."""
     G, M = plan.n_groups, plan.n_mcus
-    flat = grid.reshape(-1, 64)
-    pad = plan.n_lanes * plan.rows - plan.total_mcus
-    flat = jnp.pad(flat, ((0, pad), (0, 0)))
-    flat = flat.reshape(plan.n_lanes, plan.rows, 64)
-    if plan.rows < M:
-        flat = jnp.pad(flat, ((0, 0), (0, M - plan.rows), (0, 0)))
+    chunks = []
+    for (lane0, n_seg, rows, total), grid in zip(plan.img_view, grids):
+        flat = grid.reshape(-1, 64)
+        pad = n_seg * rows - total
+        if pad:
+            flat = jnp.pad(flat, ((0, pad), (0, 0)))
+        flat = flat.reshape(n_seg, rows, 64)
+        if rows < M:
+            flat = jnp.pad(flat, ((0, 0), (0, M - rows), (0, 0)))
+        chunks.append(flat)
     lane_pad = G * LANE_GROUP - plan.n_lanes
-    flat = jnp.pad(flat, ((0, lane_pad), (0, 0), (0, 0)))
+    if lane_pad:
+        chunks.append(jnp.zeros((lane_pad, M, 64), chunks[0].dtype))
+    flat = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
     return (
         flat.reshape(G, SUBLANES, K, M * 64)
         .transpose(0, 3, 1, 2)
@@ -711,14 +755,14 @@ def _grid_to_lanes(plan: ProgPlan, grid, c):
 # ---------------------------------------------------------------------------
 
 
-def _check_err(err, plan: ProgPlan):
+def _check_err(err, plan: ScanPlan):
     errs = np.asarray(err).reshape(-1)[: plan.n_lanes]
     failures = failures_from_err(errs, plan.lane_meta)
     if failures:
         raise failures[min(failures)]
 
 
-def stage_plan(plan: ProgPlan) -> None:
+def stage_plan(plan: ScanPlan) -> None:
     """Move the plan's kernel inputs to the device ahead of time
     (benchmarks exclude the relay upload this way; jnp.asarray on an
     already-device array is a no-op at apply time)."""
@@ -727,93 +771,125 @@ def stage_plan(plan: ProgPlan) -> None:
     plan.seg_bits = jnp.asarray(plan.seg_bits)
 
 
-def apply_scan_device(
-    jpeg, scan, state: List, interpret: bool,
-    plan: Optional[ProgPlan] = None,
+def _apply_dc_refine(jpeg, scan, state: List) -> None:
+    """DC refinement: one STATIC bit per block, so no kernel — unpack on
+    the host (bit i of segment s corrects block i), OR into the DC
+    coefficients on device."""
+    frame = jpeg.frame
+    total, ri, n_seg = _seg_geometry(jpeg, scan)
+    al = scan.al
+    pieces = bitstream.split_restart_segments(scan)
+    bits_all = []
+    mcu = 0
+    bpm = (
+        sum(
+            frame.components[ci].h * frame.components[ci].v
+            for ci in scan.comp_indices
+        )
+        if scan.interleaved
+        else 1
+    )
+    for seg in pieces[:n_seg]:
+        n_m = min(ri, total - mcu)
+        need = n_m * bpm
+        got = np.unpackbits(np.frombuffer(seg, np.uint8), count=None)
+        if len(got) < need:
+            raise JpegTruncatedError("DC refinement scan truncated")
+        bits_all.append(got[:need])
+        mcu += n_m
+    bits_np = np.concatenate(bits_all) if bits_all else np.zeros(0, np.uint8)
+    p1 = 1 << al
+    if scan.interleaved:
+        # bits laid out MCU-major, block-within-MCU minor.
+        per_mcu = bits_np.reshape(total, bpm)
+        b0 = 0
+        for sp, ci in enumerate(scan.comp_indices):
+            c = frame.components[ci]
+            nb = c.h * c.v
+            sub = per_mcu[:, b0 : b0 + nb]
+            b0 += nb
+            sub = sub.reshape(frame.mcus_y, frame.mcus_x, c.v, c.h)
+            sub = sub.transpose(0, 2, 1, 3).reshape(
+                c.padded_hb * c.padded_wb
+            )
+            mask = jnp.asarray(sub.astype(np.int32) * p1)
+            state[ci] = state[ci].at[:, 0].set(state[ci][:, 0] | mask)
+    else:
+        ci = scan.comp_indices[0]
+        c = frame.components[ci]
+        grid = np.zeros((c.padded_hb, c.padded_wb), np.int32)
+        sub = bits_np.reshape(c.height_blocks, c.width_blocks)
+        grid[: c.height_blocks, : c.width_blocks] = sub.astype(np.int32)
+        mask = jnp.asarray(grid.reshape(-1) * p1)
+        state[ci] = state[ci].at[:, 0].set(state[ci][:, 0] | mask)
+
+
+def _scatter_dc(flat, jpeg, scan, state: List) -> None:
+    """Write one image's DC-first output ([total_mcus, B]) into its
+    per-component grids."""
+    frame = jpeg.frame
+    if scan.interleaved:
+        b0 = 0
+        for sp, ci in enumerate(scan.comp_indices):
+            c = frame.components[ci]
+            nb = c.h * c.v
+            sub = flat[:, b0 : b0 + nb]
+            b0 += nb
+            sub = sub.reshape(frame.mcus_y, frame.mcus_x, c.v, c.h)
+            sub = sub.transpose(0, 2, 1, 3).reshape(-1)
+            state[ci] = state[ci].at[:, 0].set(sub)
+    else:
+        ci = scan.comp_indices[0]
+        c = frame.components[ci]
+        grid = flat[:, 0].reshape(c.height_blocks, c.width_blocks)
+        grid = jnp.pad(
+            grid,
+            (
+                (0, c.padded_hb - c.height_blocks),
+                (0, c.padded_wb - c.width_blocks),
+            ),
+        )
+        state[ci] = state[ci].at[:, 0].set(grid.reshape(-1))
+
+
+def apply_scan_batch(
+    jpegs: Sequence, k: int, states: List[List], interpret: bool,
+    plan: Optional[ScanPlan] = None,
     errs_out: Optional[list] = None,
 ) -> None:
-    """Apply one progressive scan to the device-resident coefficient
-    grids (state[ci]: int32[padded_hb*padded_wb, 64] jnp arrays),
-    mutating the list in place. With errs_out, error vectors are
-    appended for a single deferred readback instead of syncing per scan
-    (the per-readback relay round-trip dominates otherwise)."""
-    frame = jpeg.frame
-    is_dc = scan.ss == 0
-    refining = scan.ah != 0
-    al = scan.al
-
-    if plan is None:
-        plan = ProgPlan(jpeg, scan)
+    """Apply scan index k of every image in the group to its
+    device-resident coefficient grids (states[i][ci]:
+    int32[padded_hb*padded_wb, 64] jnp arrays), mutating in place. All
+    images' lanes ride ONE kernel launch; scan structure (kind, band,
+    tables, component) must match across the group — the caller groups
+    by that key. With errs_out, error vectors are appended for a single
+    deferred readback instead of syncing per scan (the per-readback
+    relay round-trip dominates otherwise)."""
+    scan0 = jpegs[0].scans[k]
+    is_dc = scan0.ss == 0
+    refining = scan0.ah != 0
+    al = scan0.al
 
     if is_dc and refining:
-        # One STATIC bit per block: unpack on the host (bit i of segment
-        # s corrects block i), OR into the DC coefficients on device.
-        pieces = bitstream.split_restart_segments(scan)
-        if scan.interleaved:
-            order = []
-            for sp, ci in enumerate(scan.comp_indices):
-                c = frame.components[ci]
-                order += [(sp, ci)] * (c.h * c.v)
-        bits_all = []
-        mcu = 0
-        ri = scan.restart_interval or plan.total_mcus
-        bpm = (
-            sum(
-                frame.components[ci].h * frame.components[ci].v
-                for ci in scan.comp_indices
-            )
-            if scan.interleaved
-            else 1
-        )
-        for seg in pieces[: plan.n_lanes]:
-            n_m = min(ri, plan.total_mcus - mcu)
-            need = n_m * bpm
-            got = np.unpackbits(
-                np.frombuffer(seg, np.uint8), count=None
-            )
-            if len(got) < need:
-                raise JpegTruncatedError("DC refinement scan truncated")
-            bits_all.append(got[:need])
-            mcu += n_m
-        bits_np = np.concatenate(bits_all) if bits_all else np.zeros(0, np.uint8)
-        p1 = 1 << al
-        if scan.interleaved:
-            # bits laid out MCU-major, block-within-MCU minor.
-            per_mcu = bits_np.reshape(plan.total_mcus, bpm)
-            b0 = 0
-            for sp, ci in enumerate(scan.comp_indices):
-                c = frame.components[ci]
-                nb = c.h * c.v
-                sub = per_mcu[:, b0 : b0 + nb]
-                b0 += nb
-                sub = sub.reshape(frame.mcus_y, frame.mcus_x, c.v, c.h)
-                sub = sub.transpose(0, 2, 1, 3).reshape(
-                    c.padded_hb * c.padded_wb
-                )
-                mask = jnp.asarray(sub.astype(np.int32) * p1)
-                state[ci] = state[ci].at[:, 0].set(
-                    state[ci][:, 0] | mask
-                )
-        else:
-            ci = scan.comp_indices[0]
-            c = frame.components[ci]
-            grid = np.zeros((c.padded_hb, c.padded_wb), np.int32)
-            sub = bits_np.reshape(c.height_blocks, c.width_blocks)
-            grid[: c.height_blocks, : c.width_blocks] = sub.astype(np.int32)
-            mask = jnp.asarray(grid.reshape(-1) * p1)
-            state[ci] = state[ci].at[:, 0].set(state[ci][:, 0] | mask)
+        # Host bit-unpack per image; no kernel, no plan needed.
+        for jpeg, state in zip(jpegs, states):
+            _apply_dc_refine(jpeg, jpeg.scans[k], state)
         return
+
+    if plan is None:
+        plan = ScanPlan(jpegs, k)
 
     if is_dc:
         # DC first: wavefront kernel, pred<<Al per block.
+        frame0 = jpegs[0].frame
         blk_sp = []
-        if scan.interleaved:
-            for sp, ci in enumerate(scan.comp_indices):
-                c = frame.components[ci]
+        if scan0.interleaved:
+            for sp, ci in enumerate(scan0.comp_indices):
+                c = frame0.components[ci]
                 blk_sp += [sp] * (c.h * c.v)
         else:
             blk_sp = [0]
-        dc_tbls = _tables_for_scan(scan, dc=True)
+        dc_tbls = _tables_for_scan(scan0, dc=True)
         static = (tuple(blk_sp), dc_tbls, plan.n_words, al)
         out, err = run_dc_first_jit(
             jnp.asarray(plan.bits), jnp.asarray(plan.lane_m),
@@ -824,42 +900,18 @@ def apply_scan_device(
             _check_err(err, plan)
         else:
             errs_out.append((err, plan))
-        G, M = plan.n_groups, plan.n_mcus
         B = len(blk_sp)
-        flat = (
-            out.reshape(G, M * B, SUBLANES, K)
-            .transpose(0, 2, 3, 1)
-            .reshape(G * LANE_GROUP, M, B)
-        )[: plan.n_lanes, : plan.rows].reshape(-1, B)[: plan.total_mcus]
-        if scan.interleaved:
-            b0 = 0
-            for sp, ci in enumerate(scan.comp_indices):
-                c = frame.components[ci]
-                nb = c.h * c.v
-                sub = flat[:, b0 : b0 + nb]
-                b0 += nb
-                sub = sub.reshape(frame.mcus_y, frame.mcus_x, c.v, c.h)
-                sub = sub.transpose(0, 2, 1, 3).reshape(-1)
-                state[ci] = state[ci].at[:, 0].set(sub)
-        else:
-            ci = scan.comp_indices[0]
-            c = frame.components[ci]
-            grid = flat[:, 0].reshape(c.height_blocks, c.width_blocks)
-            grid = jnp.pad(
-                grid,
-                (
-                    (0, c.padded_hb - c.height_blocks),
-                    (0, c.padded_wb - c.width_blocks),
-                ),
+        flat = _flat_lanes(out, plan.n_groups, plan.n_mcus, B)
+        for ii, (jpeg, state) in enumerate(zip(jpegs, states)):
+            _scatter_dc(
+                _img_lanes(plan, flat, ii, B), jpeg, jpeg.scans[k], state
             )
-            state[ci] = state[ci].at[:, 0].set(grid.reshape(-1))
         return
 
     # AC scans: single component (parser-enforced).
-    ci = scan.comp_indices[0]
-    c = frame.components[ci]
-    ac_tbls = _tables_for_scan(scan, dc=False)
-    static = (ac_tbls, plan.n_words, scan.ss, scan.se, al)
+    ci = scan0.comp_indices[0]
+    ac_tbls = _tables_for_scan(scan0, dc=False)
+    static = (ac_tbls, plan.n_words, scan0.ss, scan0.se, al)
 
     if not refining:
         out, err = run_ac_first_jit(
@@ -871,16 +923,26 @@ def apply_scan_device(
             _check_err(err, plan)
         else:
             errs_out.append((err, plan))
-        grid = _lanes_to_grid(plan, out, c)
-        full = state[ci].reshape(c.padded_hb, c.padded_wb, 64)
-        full = full.at[: c.height_blocks, : c.width_blocks].add(grid)
-        state[ci] = full.reshape(-1, 64)
+        flat = _flat_lanes(out, plan.n_groups, plan.n_mcus, 64)
+        for ii, (jpeg, state) in enumerate(zip(jpegs, states)):
+            c = jpeg.frame.components[ci]
+            grid = _img_lanes(plan, flat, ii, 64).reshape(
+                c.height_blocks, c.width_blocks, 64
+            )
+            full = state[ci].reshape(c.padded_hb, c.padded_wb, 64)
+            full = full.at[: c.height_blocks, : c.width_blocks].add(grid)
+            state[ci] = full.reshape(-1, 64)
         return
 
     # AC refine: prior band values ride into the kernel per block.
-    full = state[ci].reshape(c.padded_hb, c.padded_wb, 64)
-    prior_grid = full[: c.height_blocks, : c.width_blocks]
-    prior = _grid_to_lanes(plan, prior_grid, c)
+    fulls = []
+    priors = []
+    for jpeg, state in zip(jpegs, states):
+        c = jpeg.frame.components[ci]
+        full = state[ci].reshape(c.padded_hb, c.padded_wb, 64)
+        fulls.append(full)
+        priors.append(full[: c.height_blocks, : c.width_blocks])
+    prior = _grids_to_lanes(plan, priors)
     out, err = run_ac_refine_jit(
         jnp.asarray(plan.bits), jnp.asarray(plan.lane_m),
         jnp.asarray(plan.seg_bits), prior, static, plan.n_groups,
@@ -890,9 +952,99 @@ def apply_scan_device(
         _check_err(err, plan)
     else:
         errs_out.append((err, plan))
-    grid = _lanes_to_grid(plan, out, c)
-    full = full.at[: c.height_blocks, : c.width_blocks].set(grid)
-    state[ci] = full.reshape(-1, 64)
+    flat = _flat_lanes(out, plan.n_groups, plan.n_mcus, 64)
+    for ii, (jpeg, state, full) in enumerate(zip(jpegs, states, fulls)):
+        c = jpeg.frame.components[ci]
+        grid = _img_lanes(plan, flat, ii, 64).reshape(
+            c.height_blocks, c.width_blocks, 64
+        )
+        full = full.at[: c.height_blocks, : c.width_blocks].set(grid)
+        state[ci] = full.reshape(-1, 64)
+
+
+def scan_group_key(jpeg: bitstream.JpegData) -> Tuple:
+    """Images whose keys match can share every scan's kernel launch:
+    same frame geometry and an identical scan script — kind, band,
+    successive-approximation position, component, and the bytes of each
+    Huffman table a kernel will close over. Restart intervals and
+    segment lengths may differ (lanes carry their own MCU counts)."""
+    frame = jpeg.frame
+    parts: list = [
+        frame.height, frame.width,
+        tuple((c.h, c.v) for c in frame.components),
+    ]
+    for scan in jpeg.scans:
+        is_dc = scan.ss == 0
+        refining = scan.ah != 0
+        if is_dc and refining:
+            tabs: Tuple = ()  # no entropy tables in a DC refinement scan
+        elif is_dc:
+            tabs = tuple(
+                _spec_bytes(scan.huff.get((0, scan.dc_ids[sp])))
+                for sp in range(scan.n_comps)
+            )
+        else:
+            tabs = (_spec_bytes(scan.huff.get((1, scan.ac_ids[0]))),)
+        parts.append(
+            (
+                scan.interleaved, tuple(scan.comp_indices),
+                scan.ss, scan.se, scan.ah, scan.al, tabs,
+            )
+        )
+    return tuple(parts)
+
+
+def _spec_bytes(spec) -> Optional[bytes]:
+    if spec is None:
+        return None
+    return spec.counts.tobytes() + spec.values.tobytes()
+
+
+def decode_all_scans_batch(
+    jpegs: Sequence[bitstream.JpegData],
+    config: DecodeConfig = DEFAULT_CONFIG,
+) -> Tuple[List[Optional[List[jnp.ndarray]]], Dict[int, Exception]]:
+    """Device-resident progressive entropy decode of a GROUP of images
+    with matching `scan_group_key`s: scan k of every image decodes in
+    one wavefront launch (SURVEY.md §2.1 #10, §3.3 — cross-image
+    batching of the multi-scan controller). Returns (states, failures):
+    states[i] is the per-component [padded_blocks, 64] zigzag grid list
+    for image i, or None when failures[i] holds its exception. Error
+    vectors are read back once at the end — a bad image poisons only
+    its own lanes."""
+    for jpeg in jpegs:
+        if not jpeg.frame.progressive:
+            raise JpegUnsupportedError("not a progressive frame")
+    n_scans = len(jpegs[0].scans)
+    interpret = jax.default_backend() != "tpu"
+    # Plans built up front (host) so uploads can be batched, and error
+    # vectors checked ONCE at the end — per-scan readbacks would pay the
+    # relay round-trip ten times per image.
+    plans = [
+        None if jpegs[0].scans[k].ss == 0 and jpegs[0].scans[k].ah != 0
+        else ScanPlan(jpegs, k)
+        for k in range(n_scans)
+    ]
+    states: List[Optional[List[jnp.ndarray]]] = [
+        [
+            jnp.zeros((c.padded_hb * c.padded_wb, 64), jnp.int32)
+            for c in jpeg.frame.components
+        ]
+        for jpeg in jpegs
+    ]
+    errs: list = []
+    for k in range(n_scans):
+        apply_scan_batch(
+            jpegs, k, states, interpret, plan=plans[k], errs_out=errs
+        )
+    failures: Dict[int, Exception] = {}
+    for err, plan in errs:
+        e = np.asarray(err).reshape(-1)[: plan.n_lanes]
+        for img, exc in failures_from_err(e, plan.lane_meta).items():
+            failures.setdefault(img, exc)
+    for img in failures:
+        states[img] = None
+    return states, failures
 
 
 def decode_all_scans(
@@ -902,23 +1054,7 @@ def decode_all_scans(
     on device (DC refinement is a host bit-unpack + device OR — the bit
     positions are static). Returns per-component [padded_blocks, 64]
     zigzag coefficient grids (device arrays)."""
-    frame = jpeg.frame
-    if not frame.progressive:
-        raise JpegUnsupportedError("not a progressive frame")
-    interpret = jax.default_backend() != "tpu"
-    # Plans built up front (host) so uploads can be batched, and error
-    # vectors checked ONCE at the end — per-scan readbacks would pay the
-    # relay round-trip ten times per image.
-    plans = [ProgPlan(jpeg, s) for s in jpeg.scans]
-    state: List[jnp.ndarray] = [
-        jnp.zeros((c.padded_hb * c.padded_wb, 64), jnp.int32)
-        for c in frame.components
-    ]
-    errs: list = []
-    for scan, plan in zip(jpeg.scans, plans):
-        apply_scan_device(
-            jpeg, scan, state, interpret, plan=plan, errs_out=errs
-        )
-    for err, plan in errs:
-        _check_err(err, plan)
-    return state
+    states, failures = decode_all_scans_batch([jpeg], config)
+    if failures:
+        raise failures[0]
+    return states[0]

@@ -78,17 +78,44 @@ def decode_batch_on_device(
         except Exception as e:
             errors[i] = e if isinstance(e, JpegError) else JpegError(repr(e))
 
-    # Progressive images: device scan kernels per image (no cross-image
-    # batching yet — each file's scan structure drives its own kernels).
+    # Progressive images: device scan kernels, cross-image batched.
+    # Images sharing a scan_group_key (same geometry + scan script +
+    # tables — the common case for one encoder's corpus) decode with
+    # ONE kernel launch per scan index; singleton groups take the same
+    # path with one image's lanes.
     if progressive:
         from ..kernels import pipeline as kp
         from ..kernels import wavefront_prog
 
+        groups: Dict[Tuple, List[int]] = {}
         for i in progressive:
             j = jpegs[i]
             try:
+                key = (
+                    wavefront_prog.scan_group_key(j),
+                    bitstream.color_space(j),
+                    tuple(
+                        j.qtables[c.tq].tobytes() for c in j.frame.components
+                    ),
+                )
+            except Exception:
+                key = ("solo", i)
+            groups.setdefault(key, []).append(i)
+
+        def _prog_one(i: int) -> None:
+            j = jpegs[i]
+            try:
                 state = wavefront_prog.decode_all_scans(j, config)
-                frame = j.frame
+                _prog_emit(i, state)
+            except JpegError as e:
+                errors[i] = e
+            except Exception as e:
+                errors[i] = JpegError(f"internal decode failure: {e!r}")
+
+        def _prog_emit(i: int, state, out=None) -> None:
+            j = jpegs[i]
+            frame = j.frame
+            if out is None:
                 qtabs = [
                     jnp.asarray(j.qtables[c.tq]) for c in frame.components
                 ]
@@ -96,18 +123,50 @@ def decode_batch_on_device(
                     frame, [s[None] for s in state], qtabs, config,
                     color=bitstream.color_space(j),
                 )[0]
-                images[i] = np.asarray(out) if config.to_numpy else out
-                st = DecodeStats()
-                st.width, st.height = frame.width, frame.height
-                st.n_components = frame.n_components
-                st.progressive = True
-                st.entropy_engine = "wavefront-prog"
-                st.transform_engine = "pallas"
-                stats[i] = st
-            except JpegError as e:
-                errors[i] = e
-            except Exception as e:
-                errors[i] = JpegError(f"internal decode failure: {e!r}")
+            images[i] = np.asarray(out) if config.to_numpy else out
+            st = DecodeStats()
+            st.width, st.height = frame.width, frame.height
+            st.n_components = frame.n_components
+            st.progressive = True
+            st.entropy_engine = "wavefront-prog"
+            st.transform_engine = "pallas"
+            stats[i] = st
+
+        for key, members in groups.items():
+            try:
+                sub = [jpegs[i] for i in members]
+                states, failures = wavefront_prog.decode_all_scans_batch(
+                    sub, config
+                )
+                for li, exc in failures.items():
+                    errors[members[li]] = exc
+                ok = [li for li in range(len(members)) if li not in failures]
+                if not ok:
+                    continue
+                frame = sub[ok[0]].frame
+                qtabs = [
+                    jnp.asarray(sub[ok[0]].qtables[c.tq])
+                    for c in frame.components
+                ]
+                coeff_stack = [
+                    jnp.stack([states[li][ci] for li in ok])
+                    for ci in range(frame.n_components)
+                ]
+                out = kp.transform_batch(
+                    frame, coeff_stack, qtabs, config,
+                    color=bitstream.color_space(sub[ok[0]]),
+                )
+                for slot, li in enumerate(ok):
+                    _prog_emit(members[li], None, out=out[slot])
+            except JpegError:
+                # A plan-time error (truncated segments, oversize scan)
+                # poisons the shared plan: re-decode per image so one
+                # bad file can't take down its group.
+                for i in members:
+                    _prog_one(i)
+            except Exception:
+                for i in members:
+                    _prog_one(i)
 
     if not valid:
         return BatchResult(images=images, errors=errors, stats=stats)

@@ -147,3 +147,74 @@ def test_native_scan_split_truncation_detected():
     with pytest.raises(JpegError):
         native_entropy.scan_split_buf(dest[: len(dest) // 4], jpeg, scan,
                                       total, 8)
+
+
+def test_native_scan_split_spec_matches_serial():
+    """The speculative parallel skeleton scan (tj_scan_split_spec —
+    SURVEY.md §5 long-context item 4, the PAPERS.md:5/7 self-sync
+    technique) is bit-identical to the serial walk across content
+    classes, subsamplings and sampling strides."""
+    cases = [
+        dict(w=640, h=480, subsampling=2, kind="photo"),
+        dict(w=640, h=480, subsampling=2, kind="noise"),
+        dict(w=640, h=480, subsampling=2, kind="flat"),
+        dict(w=512, h=384, subsampling=0),
+        dict(w=384, h=256, mode="L"),
+        dict(w=333, h=77, subsampling=1),
+    ]
+    for ci, kw in enumerate(cases):
+        w, h = kw.pop("w"), kw.pop("h")
+        data = make_jpeg(w, h, seed=200 + ci, quality=85, **kw)
+        jpeg = bitstream.parse(data)
+        scan = jpeg.scans[0]
+        dest, _ = native_entropy.destuff_segments(scan)
+        total, _sp = native_entropy._blocks_sp(jpeg, scan)
+        for every in (1, 16, 257):
+            a = native_entropy.scan_split_buf(
+                dest, jpeg, scan, total, every, n_threads=1
+            )
+            b = native_entropy.scan_split_buf(
+                dest, jpeg, scan, total, every, n_threads=4
+            )
+            np.testing.assert_array_equal(
+                a, b, err_msg=f"case {ci} every {every}"
+            )
+
+
+def test_native_scan_split_spec_error_parity():
+    """Truncated and corrupted streams produce the SAME error class (or
+    the same offsets, when the corruption happens to stay decodable) as
+    the serial walk — speculation never changes observable behavior."""
+    from tpujpeg.errors import JpegError
+
+    data = make_jpeg(512, 512, seed=19, subsampling=2)
+    jpeg = bitstream.parse(data)
+    scan = jpeg.scans[0]
+    dest, _ = native_entropy.destuff_segments(scan)
+    total, _sp = native_entropy._blocks_sp(jpeg, scan)
+
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        bad = np.array(dest, copy=True)
+        if trial % 2 == 0:
+            bad = bad[: rng.integers(8, len(bad))]
+        else:
+            at = int(rng.integers(0, max(1, len(bad) - 64)))
+            bad[at : at + 32] = rng.integers(0, 256, 32, dtype=np.uint8)
+        try:
+            a = native_entropy.scan_split_buf(
+                bad, jpeg, scan, total, 16, n_threads=1
+            )
+            serial_err = None
+        except JpegError as e:
+            a, serial_err = None, type(e)
+        try:
+            b = native_entropy.scan_split_buf(
+                bad, jpeg, scan, total, 16, n_threads=4
+            )
+            spec_err = None
+        except JpegError as e:
+            b, spec_err = None, type(e)
+        assert serial_err is spec_err, f"trial {trial}"
+        if a is not None:
+            np.testing.assert_array_equal(a, b, err_msg=f"trial {trial}")

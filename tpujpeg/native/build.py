@@ -111,6 +111,22 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int,                     # err_len
         ]
 
+        lib.tj_scan_split_spec.restype = ctypes.c_int
+        lib.tj_scan_split_spec.argtypes = [
+            ctypes.c_void_p,                  # destuffed
+            ctypes.c_int64,                   # dlen
+            ctypes.POINTER(ctypes.c_int32),   # scan_params
+            ctypes.c_char_p,                  # hspec
+            ctypes.POINTER(ctypes.c_int32),   # blocks_sp
+            ctypes.c_int,                     # n_blocks
+            ctypes.c_int64,                   # total_mcus
+            ctypes.c_int64,                   # every
+            ctypes.POINTER(ctypes.c_int64),   # bit_offs
+            ctypes.c_int,                     # n_threads
+            ctypes.c_char_p,                  # err_msg
+            ctypes.c_int,                     # err_len
+        ]
+
         lib.tj_find_scan_end.restype = ctypes.c_int64
         lib.tj_find_scan_end.argtypes = [
             ctypes.c_char_p,                  # data

@@ -13,6 +13,7 @@
 // reference checkout is an empty mount (SURVEY.md §0), so citations are
 // to the standard and survey, not reference file:line.
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -194,6 +195,41 @@ static inline int huff_decode(BitReader& br, const HuffTbl& t, ErrState& err) {
   }
   br.skip(l);
   return t.huffval[t.valoffset[l] + code];
+}
+
+// One block of the SKELETON walk (symbol lengths only, no coefficient
+// stores): the shared step of tj_scan_split and its speculative
+// parallel variant. Leaves err set on bad DC size / AC overrun /
+// invalid code.
+static inline void skeleton_block(BitReader& br, const HuffTbl& dc,
+                                  const HuffTbl& ac, ErrState& err) {
+  int t = huff_decode(br, dc, err);
+  if (t < 0) return;
+  if (t > 15) {
+    err.set(ERR_HUFFMAN, "bad DC size");
+    return;
+  }
+  br.receive(t);
+  int k = 1;
+  while (k < 64) {
+    int rs = huff_decode(br, ac, err);
+    if (rs < 0) return;
+    int run = rs >> 4, size = rs & 15;
+    if (size == 0) {
+      if (run == 15) {
+        k += 16;
+        continue;
+      }
+      break;
+    }
+    k += run;
+    if (k > 63) {
+      err.set(ERR_HUFFMAN, "AC run past end of block");
+      return;
+    }
+    br.receive(size);
+    k++;
+  }
 }
 
 // ---------------------------------------------------------------------------
@@ -808,34 +844,7 @@ int tj_scan_split(const uint8_t* destuffed, int64_t dlen,
           static_cast<int64_t>(br.pos) * 8 + br.fed_pad_bits - br.cnt;
     }
     for (int b = 0; b < n_blocks; b++) {
-      int sp = blocks_sp[b];
-      int t = huff_decode(br, *dc_tbl[sp], err);
-      if (t < 0) break;
-      if (t > 15) {
-        err.set(ERR_HUFFMAN, "bad DC size");
-        break;
-      }
-      br.receive(t);
-      int k = 1;
-      while (k < 64) {
-        int rs = huff_decode(br, *ac_tbl[sp], err);
-        if (rs < 0) break;
-        int run = rs >> 4, size = rs & 15;
-        if (size == 0) {
-          if (run == 15) {
-            k += 16;
-            continue;
-          }
-          break;
-        }
-        k += run;
-        if (k > 63) {
-          err.set(ERR_HUFFMAN, "AC run past end of block");
-          break;
-        }
-        br.receive(size);
-        k++;
-      }
+      skeleton_block(br, *dc_tbl[blocks_sp[b]], *ac_tbl[blocks_sp[b]], err);
       if (err.code.load(std::memory_order_relaxed) != OK) break;
     }
     if (err.code.load(std::memory_order_relaxed) != OK) break;
@@ -843,6 +852,210 @@ int tj_scan_split(const uint8_t* destuffed, int64_t dlen,
   bit_offs[oi] =
       static_cast<int64_t>(br.pos) * 8 + br.fed_pad_bits - br.cnt;
   if (err.code.load() == OK && br.overrun()) {
+    err.set(ERR_TRUNCATED, "entropy stream truncated");
+  }
+  int code = err.code.load();
+  if (code != OK) std::snprintf(err_msg, err_len, "%s", err.msg);
+  return code;
+}
+
+// Speculative self-sync parallel skeleton scan (SURVEY.md §5
+// long-context item 4, §7.2 hard-part 4; the technique of PAPERS.md:5
+// "Accelerating JPEG Decompression on GPUs" and PAPERS.md:7 Recoil,
+// adapted to host threads): the serial prefix that tj_scan_split pays
+// on marker-free streams parallelizes by letting each worker decode
+// speculatively from a byte-aligned guess and VALIDATING at stitch
+// time.
+//
+//   phase 1 (parallel)  chunk c's worker decodes from chunk start,
+//                       assuming it sits at an MCU boundary, and
+//                       records the bit offset of every MCU start it
+//                       sees (phase-0 block starts). Huffman codes
+//                       self-synchronize, so a wrong guess converges
+//                       to the true symbol alignment with high
+//                       probability; until it does, the records are
+//                       garbage that simply won't match. An invalid
+//                       code before the first record restarts one
+//                       byte later (another resync attempt); after
+//                       records began, the worker stops — decode from
+//                       a given (bit, phase) state is DETERMINISTIC,
+//                       so one contiguous record run per chunk keeps
+//                       the continuation property.
+//   phase 2 (serial)    the stitch holds the EXACT decoder state. At
+//                       each chunk it looks its bit offset up in the
+//                       chunk's records: a hit proves every later
+//                       record of that chunk is the exact decode
+//                       continuation (determinism — regardless of how
+//                       the worker got there), so the stitch
+//                       fast-forwards through them, emitting every
+//                       `every`-th MCU offset and counting absolute
+//                       MCU indices the workers could not know. A
+//                       miss (non-converged worker, pathological
+//                       stream) falls back to exact serial decode of
+//                       that chunk — correctness never depends on
+//                       speculation succeeding.
+//
+// Output and error taxonomy are bit-identical to tj_scan_split (the
+// equivalence is property-tested); only wall-clock differs.
+int tj_scan_split_spec(const uint8_t* destuffed, int64_t dlen,
+                       const int32_t* scan_p, const uint8_t* hspec,
+                       const int32_t* blocks_sp, int n_blocks,
+                       int64_t total_mcus, int64_t every,
+                       int64_t* bit_offs, int n_threads,
+                       char* err_msg, int err_len) {
+  ErrState err;
+  ScanDesc s = unpack_scan(scan_p);
+  HuffTbl tbls[8];
+  build_tables(hspec, tbls, err);
+  const HuffTbl* dc_tbl[kMaxComps] = {nullptr, nullptr, nullptr, nullptr};
+  const HuffTbl* ac_tbl[kMaxComps] = {nullptr, nullptr, nullptr, nullptr};
+  for (int p = 0; p < s.n_scan_comps; p++) {
+    const HuffTbl& dt = tbls[0 * 4 + s.dc_id[p]];
+    const HuffTbl& at = tbls[1 * 4 + s.ac_id[p]];
+    if (!dt.present || !at.present) {
+      err.set(ERR_SYNTAX, "missing Huffman table");
+    }
+    dc_tbl[p] = &dt;
+    ac_tbl[p] = &at;
+  }
+  if (err.code.load() != OK) {
+    std::snprintf(err_msg, err_len, "%s", err.msg);
+    return err.code.load();
+  }
+
+  // Chunking: enough chunks for balance, big enough to amortize the
+  // resync prefix. Chunk 0 needs no speculation (bit 0 IS exact).
+  const int64_t kMinChunk = 1 << 18;  // 256 KB
+  int64_t n_chunks = n_threads > 1 ? std::min<int64_t>(
+      4 * n_threads, std::max<int64_t>(1, dlen / kMinChunk)) : 1;
+  std::vector<int64_t> chunk_start(n_chunks + 1);
+  for (int64_t c = 0; c <= n_chunks; c++) {
+    chunk_start[c] = dlen * c / n_chunks;
+  }
+
+  // Per-chunk MCU-start records (absolute bit offsets). Workers record
+  // OVERLAP bytes past their chunk end: the stitch arrives in a chunk
+  // near its start — before that chunk's worker has self-synced — so
+  // the agreement point between the exact walk and a worker's run lies
+  // a sync-distance past the chunk boundary. The overlap must exceed
+  // the sync distance (typically well under a KB of stream).
+  const int64_t kOverlapBits = (64 << 10) * 8;  // 64 KB
+  std::vector<std::vector<int64_t>> recs(n_chunks);
+
+  auto worker = [&](int64_t c) {
+    std::vector<int64_t>& out = recs[c];
+    const int64_t end_bits =
+        std::min<int64_t>(chunk_start[c + 1] * 8 + kOverlapBits, dlen * 8);
+    // Record capacity bound: one MCU start per two stream bytes is
+    // already pathological; past it, stop and let the stitch walk
+    // serially (flat streams decode fast serially anyway).
+    const size_t cap = static_cast<size_t>(
+        (chunk_start[c + 1] - chunk_start[c] + (kOverlapBits >> 3)) / 2
+        + 1024);
+    int64_t start_byte = chunk_start[c];
+    while (true) {  // resync attempts: advance one byte per retry
+      out.clear();
+      BitReader br(destuffed, static_cast<size_t>(dlen));
+      br.pos = static_cast<size_t>(start_byte);
+      ErrState werr;
+      while (true) {
+        int64_t bit =
+            static_cast<int64_t>(br.pos) * 8 + br.fed_pad_bits - br.cnt;
+        out.push_back(bit);
+        if (bit >= end_bits || out.size() > cap) return;  // run closed
+        for (int b = 0; b < n_blocks; b++) {
+          skeleton_block(br, *dc_tbl[blocks_sp[b]], *ac_tbl[blocks_sp[b]],
+                         werr);
+          if (werr.code.load(std::memory_order_relaxed) != OK) break;
+        }
+        if (werr.code.load(std::memory_order_relaxed) != OK) {
+          if (out.size() <= 1) {
+            // Error before self-sync established anything: try the
+            // next byte, unless the chunk is exhausted.
+            start_byte += 1;
+            if (start_byte * 8 < chunk_start[c + 1] * 8) break;  // retry
+            out.clear();
+            return;
+          }
+          // Error after records began: the run up to here is a valid
+          // deterministic continuation; close it (drop the boundary
+          // AFTER the failing MCU — it was never reached).
+          return;
+        }
+        if (br.overrun()) return;  // ran off the stream: close the run
+      }
+    }
+  };
+
+  if (n_chunks > 1) {
+    // Chunk 0's "speculation" is exact (it starts at true bit 0), so
+    // its run lets the stitch teleport from the very first MCU.
+    std::vector<std::thread> workers;
+    int nt = std::min<int64_t>(n_threads, n_chunks);
+    std::atomic<int64_t> next{0};
+    for (int t = 0; t < nt; t++) {
+      workers.emplace_back([&]() {
+        for (int64_t c; (c = next.fetch_add(1)) < n_chunks;) worker(c);
+      });
+    }
+    for (auto& th : workers) th.join();
+  }
+
+  // Serial stitch with record teleports: hold the exact state (bit,
+  // MCU index); whenever the current bit appears in the owning chunk's
+  // records, every later record of that run is the exact continuation
+  // (decode from a state is deterministic) — consume them without
+  // touching the bits. Otherwise decode ONE MCU exactly and re-probe:
+  // per-MCU binary search is noise next to an MCU decode, and it lets
+  // the stitch reattach at the agreement point anywhere in a chunk.
+  BitReader br(destuffed, static_cast<size_t>(dlen));
+  int64_t m = 0;   // absolute MCU index == count of MCUs fully decoded
+  int64_t oi = 0;
+  bool reader_live = true;  // br matches the current bit position
+  int64_t bit = 0;
+  int64_t c_at = 0;  // chunk owning `bit`
+
+  auto emit = [&](int64_t at_bit) {
+    if (m % every == 0) bit_offs[oi++] = at_bit;
+  };
+
+  while (m < total_mcus && err.code.load(std::memory_order_relaxed) == OK) {
+    while (c_at + 1 < n_chunks && bit >= chunk_start[c_at + 1] * 8) c_at++;
+    const std::vector<int64_t>& r = recs[c_at];
+    auto it = std::lower_bound(r.begin(), r.end(), bit);
+    if (it != r.end() && *it == bit && it + 1 != r.end()) {
+      // Teleport: consume the run (all but its closing record, which
+      // only marks where the worker stopped decoding).
+      size_t i = static_cast<size_t>(it - r.begin());
+      while (m < total_mcus && i + 1 < r.size()) {
+        emit(r[i]);
+        m++;
+        i++;
+      }
+      bit = r[i];
+      reader_live = false;
+      continue;
+    }
+    // Exact decode of one MCU.
+    if (!reader_live) {
+      br = BitReader(destuffed, static_cast<size_t>(dlen));
+      br.pos = static_cast<size_t>(bit >> 3);
+      br.receive(static_cast<int>(bit & 7));
+      reader_live = true;
+    }
+    emit(bit);
+    for (int b = 0; b < n_blocks; b++) {
+      skeleton_block(br, *dc_tbl[blocks_sp[b]], *ac_tbl[blocks_sp[b]], err);
+      if (err.code.load(std::memory_order_relaxed) != OK) break;
+    }
+    if (err.code.load(std::memory_order_relaxed) != OK) break;
+    m++;
+    bit = static_cast<int64_t>(br.pos) * 8 + br.fed_pad_bits - br.cnt;
+  }
+
+  bit_offs[oi] = bit;
+  if (err.code.load() == OK &&
+      bit > static_cast<int64_t>(dlen) * 8) {
     err.set(ERR_TRUNCATED, "entropy stream truncated");
   }
   int code = err.code.load();

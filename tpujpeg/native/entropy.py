@@ -166,11 +166,18 @@ def scan_split_buf(
     scan: bitstream.Scan,
     total_mcus: int,
     every: int,
+    n_threads: int = 0,
 ) -> np.ndarray:
     """Skeleton-scan `total_mcus` MCUs of a DESTUFFED buffer (symbol
     lengths only, no coefficient stores), recording the bit offset of
     every `every`-th MCU. Returns int64 offsets with
-    ceil(total/every)+1 entries, the last being total bits consumed."""
+    ceil(total/every)+1 entries, the last being total bits consumed.
+
+    Large buffers take the SPECULATIVE parallel walk (tj_scan_split_spec:
+    workers decode from byte-aligned guesses, Huffman self-sync makes the
+    guesses converge, a serial stitch validates — SURVEY.md §5
+    long-context item 4); output is bit-identical to the serial walk.
+    Small buffers stay serial (the resync prefix would dominate)."""
     lib = build_mod.get_lib()
     _tot, blocks_sp = _blocks_sp(jpeg, scan)
     bsp = np.asarray(blocks_sp, dtype=np.int32)
@@ -178,19 +185,37 @@ def scan_split_buf(
     offs = np.zeros(n_off, dtype=np.int64)
     err = ctypes.create_string_buffer(256)
     destuffed = np.ascontiguousarray(destuffed)
-    code = lib.tj_scan_split(
-        destuffed.ctypes.data_as(ctypes.c_void_p),
-        len(destuffed),
-        _pack_scan(scan).ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        _pack_hspecs(scan.huff),
-        bsp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        len(blocks_sp),
-        total_mcus,
-        every,
-        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        err,
-        256,
-    )
+    if n_threads <= 0:
+        n_threads = min(default_threads(), max(1, len(destuffed) >> 19))
+    if n_threads > 1:
+        code = lib.tj_scan_split_spec(
+            destuffed.ctypes.data_as(ctypes.c_void_p),
+            len(destuffed),
+            _pack_scan(scan).ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            _pack_hspecs(scan.huff),
+            bsp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(blocks_sp),
+            total_mcus,
+            every,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_threads,
+            err,
+            256,
+        )
+    else:
+        code = lib.tj_scan_split(
+            destuffed.ctypes.data_as(ctypes.c_void_p),
+            len(destuffed),
+            _pack_scan(scan).ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            _pack_hspecs(scan.huff),
+            bsp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(blocks_sp),
+            total_mcus,
+            every,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            err,
+            256,
+        )
     if code != 0:
         exc = _ERR_MAP.get(code, JpegError)
         raise exc(err.value.decode("utf-8", "replace"))

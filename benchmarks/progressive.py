@@ -68,40 +68,22 @@ def main():
     assert len(keys) == 1, "corpus must share one scan structure"
     n_scans = len(jpegs[0].scans)
 
-    # Host plan-build rate (the prep stage a pipeline would overlap).
-    def build_plans():
-        return [
-            None
-            if jpegs[0].scans[k].ss == 0 and jpegs[0].scans[k].ah != 0
-            else wprog.ScanPlan(jpegs, k)
-            for k in range(n_scans)
-        ]
-
+    # Host prep rate: plans + masks + the jitted whole-sequence chain
+    # (the stage a pipeline would overlap).
     t0 = time.perf_counter()
-    plans = build_plans()
+    fn, arrs, masks, kernel_plans = wprog.build_chain_inputs(jpegs)
     plan_s = time.perf_counter() - t0
 
-    # Stage every scan's kernel inputs in HBM (excluded, see docstring).
+    # Stage the chain inputs in HBM (excluded, see docstring).
     t0 = time.perf_counter()
-    for p in plans:
-        if p is not None:
-            wprog.stage_plan(p)
-            _ = np.asarray(p.lane_m)[:1]
+    arrs = jax.device_put(arrs)
+    masks = jax.device_put(masks)
+    for leaf in jax.tree_util.tree_leaves((arrs, masks)):
+        _ = int(jnp.sum(leaf.reshape(-1)[:1].astype(jnp.int32)))  # force
     upload_s = time.perf_counter() - t0
 
     def chip_decode():
-        states = [
-            [
-                jnp.zeros((c.padded_hb * c.padded_wb, 64), jnp.int32)
-                for c in j.frame.components
-            ]
-            for j in jpegs
-        ]
-        errs = []
-        for k in range(n_scans):
-            wprog.apply_scan_batch(
-                jpegs, k, states, interpret, plan=plans[k], errs_out=errs
-            )
+        states, errs = fn(arrs, masks)
         qtabs = [jnp.asarray(jpegs[0].qtables[c.tq]) for c in frame.components]
         coeff_stack = [
             jnp.stack([states[i][ci] for i in range(batch)])
@@ -112,7 +94,7 @@ def main():
 
     rgb, errs = chip_decode()
     _ = int(csum(rgb))  # compile + warm, true sync
-    for err, plan in errs:
+    for err, plan in zip(errs, kernel_plans):
         wprog._check_err(err, plan)
 
     times = []

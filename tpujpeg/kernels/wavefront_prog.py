@@ -21,6 +21,8 @@ progressive scans fall back to the host engines.
 
 from __future__ import annotations
 
+import collections
+import dataclasses
 import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -717,20 +719,12 @@ def _flat_lanes(out, G: int, M: int, B: int):
     )
 
 
-def _img_lanes(plan: ScanPlan, flat, img_i: int, B: int):
-    """Slice one image's [total_mcus, B] from the lane-major output."""
-    lane0, n_seg, rows, total = plan.img_view[img_i]
-    sub = flat[lane0 : lane0 + n_seg, :rows].reshape(-1, B)
-    return sub[:total]
-
-
-def _grids_to_lanes(plan: ScanPlan, grids):
+def _grids_to_lanes_s(img_view, G: int, n_lanes: int, M: int, grids):
     """Per-image [height_blocks, width_blocks, 64] grids -> one
     [G, M, 64, 8, K] kernel input (the AC-refine prior). Images' lanes
     are contiguous, so this is a concat, not a scatter."""
-    G, M = plan.n_groups, plan.n_mcus
     chunks = []
-    for (lane0, n_seg, rows, total), grid in zip(plan.img_view, grids):
+    for (lane0, n_seg, rows, total), grid in zip(img_view, grids):
         flat = grid.reshape(-1, 64)
         pad = n_seg * rows - total
         if pad:
@@ -739,7 +733,7 @@ def _grids_to_lanes(plan: ScanPlan, grids):
         if rows < M:
             flat = jnp.pad(flat, ((0, 0), (0, M - rows), (0, 0)))
         chunks.append(flat)
-    lane_pad = G * LANE_GROUP - plan.n_lanes
+    lane_pad = G * LANE_GROUP - n_lanes
     if lane_pad:
         chunks.append(jnp.zeros((lane_pad, M, 64), chunks[0].dtype))
     flat = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
@@ -771,10 +765,13 @@ def stage_plan(plan: ScanPlan) -> None:
     plan.seg_bits = jnp.asarray(plan.seg_bits)
 
 
-def _apply_dc_refine(jpeg, scan, state: List) -> None:
-    """DC refinement: one STATIC bit per block, so no kernel — unpack on
-    the host (bit i of segment s corrects block i), OR into the DC
-    coefficients on device."""
+def _dc_refine_masks(jpeg, scan) -> List[Tuple[int, np.ndarray]]:
+    """DC refinement has one STATIC bit per block, so no kernel: unpack
+    the correction bits on the host into per-component OR-masks
+    ([padded_blocks] int32, bit already shifted to position Al). The
+    device work is a plain `state |= mask` — which is why the whole
+    multi-scan sequence can compile as ONE jitted chain (the masks are
+    data inputs, not control flow)."""
     frame = jpeg.frame
     total, ri, n_seg = _seg_geometry(jpeg, scan)
     al = scan.al
@@ -799,6 +796,7 @@ def _apply_dc_refine(jpeg, scan, state: List) -> None:
         mcu += n_m
     bits_np = np.concatenate(bits_all) if bits_all else np.zeros(0, np.uint8)
     p1 = 1 << al
+    masks: List[Tuple[int, np.ndarray]] = []
     if scan.interleaved:
         # bits laid out MCU-major, block-within-MCU minor.
         per_mcu = bits_np.reshape(total, bpm)
@@ -812,44 +810,190 @@ def _apply_dc_refine(jpeg, scan, state: List) -> None:
             sub = sub.transpose(0, 2, 1, 3).reshape(
                 c.padded_hb * c.padded_wb
             )
-            mask = jnp.asarray(sub.astype(np.int32) * p1)
-            state[ci] = state[ci].at[:, 0].set(state[ci][:, 0] | mask)
+            masks.append((ci, sub.astype(np.int32) * p1))
     else:
         ci = scan.comp_indices[0]
         c = frame.components[ci]
         grid = np.zeros((c.padded_hb, c.padded_wb), np.int32)
         sub = bits_np.reshape(c.height_blocks, c.width_blocks)
         grid[: c.height_blocks, : c.width_blocks] = sub.astype(np.int32)
-        mask = jnp.asarray(grid.reshape(-1) * p1)
-        state[ci] = state[ci].at[:, 0].set(state[ci][:, 0] | mask)
+        masks.append((ci, grid.reshape(-1) * p1))
+    return masks
 
 
-def _scatter_dc(flat, jpeg, scan, state: List) -> None:
+# Light static descriptions of a group's scan script: everything the
+# traced chain needs, with NO references to JpegData/Scan objects (a
+# cached jit closure must not pin scan bitstreams in memory — the
+# round-1 advisor flagged exactly that leak shape on the baseline
+# chain cache).
+
+
+@dataclasses.dataclass(frozen=True)
+class _ScanStatic:
+    kind: str  # 'dc_first' | 'dc_refine' | 'ac_first' | 'ac_refine'
+    comp_indices: Tuple[int, ...]
+    interleaved: bool
+    ss: int
+    se: int
+    al: int
+    blk_sp: Tuple[int, ...]  # dc_first only
+    tbls: Tuple              # CanonTables (dc for DC-first, ac for AC)
+    # Plan geometry (kernel scans only):
+    G: int = 0
+    M: int = 0
+    W: int = 0
+    n_lanes: int = 0
+    img_view: Tuple = ()
+
+
+@dataclasses.dataclass(frozen=True)
+class _GroupStatic:
+    n_images: int
+    mcus_x: int
+    mcus_y: int
+    # Per component: (h, v, padded_hb, padded_wb, height_blocks,
+    # width_blocks)
+    comps: Tuple[Tuple[int, int, int, int, int, int], ...]
+    scans: Tuple[_ScanStatic, ...]
+
+
+def _comps_static(frame) -> Tuple:
+    return tuple(
+        (c.h, c.v, c.padded_hb, c.padded_wb, c.height_blocks,
+         c.width_blocks)
+        for c in frame.components
+    )
+
+
+def _scan_static(jpegs, k: int, plan: Optional[ScanPlan]) -> _ScanStatic:
+    scan = jpegs[0].scans[k]
+    frame = jpegs[0].frame
+    is_dc = scan.ss == 0
+    refining = scan.ah != 0
+    if is_dc and refining:
+        return _ScanStatic(
+            "dc_refine", tuple(scan.comp_indices), scan.interleaved,
+            scan.ss, scan.se, scan.al, (), (),
+        )
+    blk_sp: Tuple[int, ...] = ()
+    if is_dc:
+        bl: List[int] = []
+        if scan.interleaved:
+            for sp, ci in enumerate(scan.comp_indices):
+                c = frame.components[ci]
+                bl += [sp] * (c.h * c.v)
+        else:
+            bl = [0]
+        blk_sp = tuple(bl)
+        tbls = _tables_for_scan(scan, dc=True)
+        kind = "dc_first"
+    else:
+        tbls = _tables_for_scan(scan, dc=False)
+        kind = "ac_first" if not refining else "ac_refine"
+    return _ScanStatic(
+        kind, tuple(scan.comp_indices), scan.interleaved,
+        scan.ss, scan.se, scan.al, blk_sp, tbls,
+        G=plan.n_groups, M=plan.n_mcus, W=plan.n_words,
+        n_lanes=plan.n_lanes, img_view=tuple(plan.img_view),
+    )
+
+
+def _img_lanes_s(img_view: Tuple, flat, ii: int, B: int):
+    lane0, n_seg, rows, total = img_view[ii]
+    return flat[lane0 : lane0 + n_seg, :rows].reshape(-1, B)[:total]
+
+
+def _scatter_dc_s(flat, sk: _ScanStatic, gs: _GroupStatic, state: List):
     """Write one image's DC-first output ([total_mcus, B]) into its
     per-component grids."""
-    frame = jpeg.frame
-    if scan.interleaved:
+    if sk.interleaved:
         b0 = 0
-        for sp, ci in enumerate(scan.comp_indices):
-            c = frame.components[ci]
-            nb = c.h * c.v
+        for sp, ci in enumerate(sk.comp_indices):
+            h, v, phb, pwb, _hb, _wb = gs.comps[ci]
+            nb = h * v
             sub = flat[:, b0 : b0 + nb]
             b0 += nb
-            sub = sub.reshape(frame.mcus_y, frame.mcus_x, c.v, c.h)
+            sub = sub.reshape(gs.mcus_y, gs.mcus_x, v, h)
             sub = sub.transpose(0, 2, 1, 3).reshape(-1)
             state[ci] = state[ci].at[:, 0].set(sub)
     else:
-        ci = scan.comp_indices[0]
-        c = frame.components[ci]
-        grid = flat[:, 0].reshape(c.height_blocks, c.width_blocks)
-        grid = jnp.pad(
-            grid,
-            (
-                (0, c.padded_hb - c.height_blocks),
-                (0, c.padded_wb - c.width_blocks),
-            ),
-        )
+        ci = sk.comp_indices[0]
+        _h, _v, phb, pwb, hb, wb = gs.comps[ci]
+        grid = flat[:, 0].reshape(hb, wb)
+        grid = jnp.pad(grid, ((0, phb - hb), (0, pwb - wb)))
         state[ci] = state[ci].at[:, 0].set(grid.reshape(-1))
+
+
+def _apply_static(
+    gs: _GroupStatic, sk: _ScanStatic, states: List[List],
+    arrs, masks, interpret: bool,
+):
+    """One scan of the group against the (traced or eager) coefficient
+    states. arrs = (bits, lane_m, seg_bits) for kernel scans, None for
+    DC refinement; masks = per-image tuples of OR-masks for DC
+    refinement, () otherwise. Returns the kernel's error vector, or
+    None for DC refinement. Pure function of its inputs given the
+    statics — the whole scan sequence jits as one chain."""
+    if sk.kind == "dc_refine":
+        for ii in range(gs.n_images):
+            for j, mask in enumerate(masks[ii]):
+                ci = sk.comp_indices[j] if sk.interleaved else sk.comp_indices[0]
+                st = states[ii][ci]
+                states[ii][ci] = st.at[:, 0].set(st[:, 0] | mask)
+        return None
+
+    bits, lane_m, seg_bits = arrs
+    if sk.kind == "dc_first":
+        static = (sk.blk_sp, sk.tbls, sk.W, sk.al)
+        out, err = run_dc_first_jit(
+            bits, lane_m, seg_bits, static, sk.G, sk.M, interpret
+        )
+        B = len(sk.blk_sp)
+        flat = _flat_lanes(out, sk.G, sk.M, B)
+        for ii in range(gs.n_images):
+            _scatter_dc_s(
+                _img_lanes_s(sk.img_view, flat, ii, B), sk, gs, states[ii]
+            )
+        return err
+
+    # AC scans: single component (parser-enforced).
+    ci = sk.comp_indices[0]
+    _h, _v, phb, pwb, hb, wb = gs.comps[ci]
+    static = (sk.tbls, sk.W, sk.ss, sk.se, sk.al)
+
+    if sk.kind == "ac_first":
+        out, err = run_ac_first_jit(
+            bits, lane_m, seg_bits, static, sk.G, sk.M, interpret
+        )
+        flat = _flat_lanes(out, sk.G, sk.M, 64)
+        for ii in range(gs.n_images):
+            grid = _img_lanes_s(sk.img_view, flat, ii, 64).reshape(
+                hb, wb, 64
+            )
+            full = states[ii][ci].reshape(phb, pwb, 64)
+            full = full.at[:hb, :wb].add(grid)
+            states[ii][ci] = full.reshape(-1, 64)
+        return err
+
+    # AC refine: prior band values ride into the kernel per block.
+    fulls = []
+    priors = []
+    for ii in range(gs.n_images):
+        full = states[ii][ci].reshape(phb, pwb, 64)
+        fulls.append(full)
+        priors.append(full[:hb, :wb])
+    prior = _grids_to_lanes_s(
+        sk.img_view, sk.G, sk.n_lanes, sk.M, priors
+    )
+    out, err = run_ac_refine_jit(
+        bits, lane_m, seg_bits, prior, static, sk.G, sk.M, interpret
+    )
+    flat = _flat_lanes(out, sk.G, sk.M, 64)
+    for ii in range(gs.n_images):
+        grid = _img_lanes_s(sk.img_view, flat, ii, 64).reshape(hb, wb, 64)
+        full = fulls[ii].at[:hb, :wb].set(grid)
+        states[ii][ci] = full.reshape(-1, 64)
+    return err
 
 
 def apply_scan_batch(
@@ -859,107 +1003,40 @@ def apply_scan_batch(
 ) -> None:
     """Apply scan index k of every image in the group to its
     device-resident coefficient grids (states[i][ci]:
-    int32[padded_hb*padded_wb, 64] jnp arrays), mutating in place. All
-    images' lanes ride ONE kernel launch; scan structure (kind, band,
-    tables, component) must match across the group — the caller groups
-    by that key. With errs_out, error vectors are appended for a single
-    deferred readback instead of syncing per scan (the per-readback
-    relay round-trip dominates otherwise)."""
+    int32[padded_hb*padded_wb, 64] jnp arrays), mutating in place —
+    the EAGER driver over _apply_static (decode_all_scans_batch runs
+    the same logic as one jitted chain instead). With errs_out, error
+    vectors are appended for a single deferred readback."""
     scan0 = jpegs[0].scans[k]
-    is_dc = scan0.ss == 0
-    refining = scan0.ah != 0
-    al = scan0.al
-
-    if is_dc and refining:
-        # Host bit-unpack per image; no kernel, no plan needed.
-        for jpeg, state in zip(jpegs, states):
-            _apply_dc_refine(jpeg, jpeg.scans[k], state)
-        return
-
-    if plan is None:
-        plan = ScanPlan(jpegs, k)
-
-    if is_dc:
-        # DC first: wavefront kernel, pred<<Al per block.
-        frame0 = jpegs[0].frame
-        blk_sp = []
-        if scan0.interleaved:
-            for sp, ci in enumerate(scan0.comp_indices):
-                c = frame0.components[ci]
-                blk_sp += [sp] * (c.h * c.v)
-        else:
-            blk_sp = [0]
-        dc_tbls = _tables_for_scan(scan0, dc=True)
-        static = (tuple(blk_sp), dc_tbls, plan.n_words, al)
-        out, err = run_dc_first_jit(
-            jnp.asarray(plan.bits), jnp.asarray(plan.lane_m),
-            jnp.asarray(plan.seg_bits), static, plan.n_groups,
-            plan.n_mcus, interpret,
+    if scan0.ss == 0 and scan0.ah != 0:
+        sk = _scan_static(jpegs, k, None)
+        masks = tuple(
+            tuple(m for _ci, m in _dc_refine_masks(j, j.scans[k]))
+            for j in jpegs
         )
-        if errs_out is None:
-            _check_err(err, plan)
-        else:
-            errs_out.append((err, plan))
-        B = len(blk_sp)
-        flat = _flat_lanes(out, plan.n_groups, plan.n_mcus, B)
-        for ii, (jpeg, state) in enumerate(zip(jpegs, states)):
-            _scatter_dc(
-                _img_lanes(plan, flat, ii, B), jpeg, jpeg.scans[k], state
-            )
-        return
-
-    # AC scans: single component (parser-enforced).
-    ci = scan0.comp_indices[0]
-    ac_tbls = _tables_for_scan(scan0, dc=False)
-    static = (ac_tbls, plan.n_words, scan0.ss, scan0.se, al)
-
-    if not refining:
-        out, err = run_ac_first_jit(
-            jnp.asarray(plan.bits), jnp.asarray(plan.lane_m),
-            jnp.asarray(plan.seg_bits), static, plan.n_groups,
-            plan.n_mcus, interpret,
-        )
-        if errs_out is None:
-            _check_err(err, plan)
-        else:
-            errs_out.append((err, plan))
-        flat = _flat_lanes(out, plan.n_groups, plan.n_mcus, 64)
-        for ii, (jpeg, state) in enumerate(zip(jpegs, states)):
-            c = jpeg.frame.components[ci]
-            grid = _img_lanes(plan, flat, ii, 64).reshape(
-                c.height_blocks, c.width_blocks, 64
-            )
-            full = state[ci].reshape(c.padded_hb, c.padded_wb, 64)
-            full = full.at[: c.height_blocks, : c.width_blocks].add(grid)
-            state[ci] = full.reshape(-1, 64)
-        return
-
-    # AC refine: prior band values ride into the kernel per block.
-    fulls = []
-    priors = []
-    for jpeg, state in zip(jpegs, states):
-        c = jpeg.frame.components[ci]
-        full = state[ci].reshape(c.padded_hb, c.padded_wb, 64)
-        fulls.append(full)
-        priors.append(full[: c.height_blocks, : c.width_blocks])
-    prior = _grids_to_lanes(plan, priors)
-    out, err = run_ac_refine_jit(
-        jnp.asarray(plan.bits), jnp.asarray(plan.lane_m),
-        jnp.asarray(plan.seg_bits), prior, static, plan.n_groups,
-        plan.n_mcus, interpret,
-    )
-    if errs_out is None:
-        _check_err(err, plan)
+        arrs = None
     else:
-        errs_out.append((err, plan))
-    flat = _flat_lanes(out, plan.n_groups, plan.n_mcus, 64)
-    for ii, (jpeg, state, full) in enumerate(zip(jpegs, states, fulls)):
-        c = jpeg.frame.components[ci]
-        grid = _img_lanes(plan, flat, ii, 64).reshape(
-            c.height_blocks, c.width_blocks, 64
+        if plan is None:
+            plan = ScanPlan(jpegs, k)
+        sk = _scan_static(jpegs, k, plan)
+        masks = ()
+        arrs = (
+            jnp.asarray(plan.bits), jnp.asarray(plan.lane_m),
+            jnp.asarray(plan.seg_bits),
         )
-        full = full.at[: c.height_blocks, : c.width_blocks].set(grid)
-        state[ci] = full.reshape(-1, 64)
+    gs = _GroupStatic(
+        n_images=len(jpegs),
+        mcus_x=jpegs[0].frame.mcus_x,
+        mcus_y=jpegs[0].frame.mcus_y,
+        comps=_comps_static(jpegs[0].frame),
+        scans=(sk,),
+    )
+    err = _apply_static(gs, sk, states, arrs, masks, interpret)
+    if err is not None:
+        if errs_out is None:
+            _check_err(err, plan)
+        else:
+            errs_out.append((err, plan))
 
 
 def scan_group_key(jpeg: bitstream.JpegData) -> Tuple:
@@ -1000,6 +1077,96 @@ def _spec_bytes(spec) -> Optional[bytes]:
     return spec.counts.tobytes() + spec.values.tobytes()
 
 
+# One jitted chain per group structure: the ENTIRE multi-scan decode
+# (every scan kernel + every lane<->grid conversion + every state
+# update) compiles as a single XLA program, so a 10-scan image costs
+# one dispatch instead of dozens of eager op dispatches — on this
+# rig's relay backend the eager per-op round-trips were roughly half
+# of single-image progressive wall time. Keyed by _GroupStatic, which
+# holds plain tuples only (no bitstream references pinned).
+_PROG_CHAIN_CACHE: "collections.OrderedDict[Tuple, object]" = (
+    collections.OrderedDict()
+)
+_PROG_CHAIN_MAX = 32
+
+
+def _prog_chain(gs: _GroupStatic, interpret: bool):
+    key = (gs, interpret)
+    fn = _PROG_CHAIN_CACHE.get(key)
+    if fn is not None:
+        _PROG_CHAIN_CACHE.move_to_end(key)
+        return fn
+
+    def run(arrs, masks):
+        states = [
+            [
+                jnp.zeros((phb * pwb, 64), jnp.int32)
+                for (_h, _v, phb, pwb, _hb, _wb) in gs.comps
+            ]
+            for _ in range(gs.n_images)
+        ]
+        errs = []
+        for k, sk in enumerate(gs.scans):
+            err = _apply_static(gs, sk, states, arrs[k], masks[k],
+                                interpret)
+            if err is not None:
+                errs.append(err)
+        return states, tuple(errs)
+
+    fn = jax.jit(run)
+    _PROG_CHAIN_CACHE[key] = fn
+    while len(_PROG_CHAIN_CACHE) > _PROG_CHAIN_MAX:
+        _PROG_CHAIN_CACHE.popitem(last=False)
+    return fn
+
+
+def build_chain_inputs(
+    jpegs: Sequence[bitstream.JpegData],
+    plans: Optional[List[Optional[ScanPlan]]] = None,
+):
+    """Host prep for the jitted whole-sequence chain: per-scan plans,
+    the chain function, and its inputs. Returns (fn, arrs, masks,
+    kernel_plans); call `fn(arrs, masks)` -> (states, errs), where errs
+    aligns with kernel_plans for failure mapping. Benchmarks stage
+    `arrs` in HBM before the clock."""
+    n_scans = len(jpegs[0].scans)
+    interpret = jax.default_backend() != "tpu"
+    if plans is None:
+        plans = [
+            None
+            if jpegs[0].scans[k].ss == 0 and jpegs[0].scans[k].ah != 0
+            else ScanPlan(jpegs, k)
+            for k in range(n_scans)
+        ]
+    sks = tuple(_scan_static(jpegs, k, plans[k]) for k in range(n_scans))
+    gs = _GroupStatic(
+        n_images=len(jpegs),
+        mcus_x=jpegs[0].frame.mcus_x,
+        mcus_y=jpegs[0].frame.mcus_y,
+        comps=_comps_static(jpegs[0].frame),
+        scans=sks,
+    )
+    arrs = tuple(
+        None if p is None
+        else (
+            jnp.asarray(p.bits), jnp.asarray(p.lane_m),
+            jnp.asarray(p.seg_bits),
+        )
+        for p in plans
+    )
+    masks = tuple(
+        tuple(
+            tuple(m for _ci, m in _dc_refine_masks(j, j.scans[k]))
+            for j in jpegs
+        )
+        if sks[k].kind == "dc_refine"
+        else ()
+        for k in range(n_scans)
+    )
+    kernel_plans = [p for p in plans if p is not None]
+    return _prog_chain(gs, interpret), arrs, masks, kernel_plans
+
+
 def decode_all_scans_batch(
     jpegs: Sequence[bitstream.JpegData],
     config: DecodeConfig = DEFAULT_CONFIG,
@@ -1007,38 +1174,19 @@ def decode_all_scans_batch(
     """Device-resident progressive entropy decode of a GROUP of images
     with matching `scan_group_key`s: scan k of every image decodes in
     one wavefront launch (SURVEY.md §2.1 #10, §3.3 — cross-image
-    batching of the multi-scan controller). Returns (states, failures):
-    states[i] is the per-component [padded_blocks, 64] zigzag grid list
-    for image i, or None when failures[i] holds its exception. Error
-    vectors are read back once at the end — a bad image poisons only
-    its own lanes."""
+    batching of the multi-scan controller), and the WHOLE scan sequence
+    runs as one jitted chain. Returns (states, failures): states[i] is
+    the per-component [padded_blocks, 64] zigzag grid list for image i,
+    or None when failures[i] holds its exception. Error vectors are
+    read back once at the end — a bad image poisons only its own
+    lanes."""
     for jpeg in jpegs:
         if not jpeg.frame.progressive:
             raise JpegUnsupportedError("not a progressive frame")
-    n_scans = len(jpegs[0].scans)
-    interpret = jax.default_backend() != "tpu"
-    # Plans built up front (host) so uploads can be batched, and error
-    # vectors checked ONCE at the end — per-scan readbacks would pay the
-    # relay round-trip ten times per image.
-    plans = [
-        None if jpegs[0].scans[k].ss == 0 and jpegs[0].scans[k].ah != 0
-        else ScanPlan(jpegs, k)
-        for k in range(n_scans)
-    ]
-    states: List[Optional[List[jnp.ndarray]]] = [
-        [
-            jnp.zeros((c.padded_hb * c.padded_wb, 64), jnp.int32)
-            for c in jpeg.frame.components
-        ]
-        for jpeg in jpegs
-    ]
-    errs: list = []
-    for k in range(n_scans):
-        apply_scan_batch(
-            jpegs, k, states, interpret, plan=plans[k], errs_out=errs
-        )
+    fn, arrs, masks, kernel_plans = build_chain_inputs(jpegs)
+    states, errs = fn(arrs, masks)
     failures: Dict[int, Exception] = {}
-    for err, plan in errs:
+    for err, plan in zip(errs, kernel_plans):
         e = np.asarray(err).reshape(-1)[: plan.n_lanes]
         for img, exc in failures_from_err(e, plan.lane_meta).items():
             failures.setdefault(img, exc)

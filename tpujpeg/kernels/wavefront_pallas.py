@@ -1413,12 +1413,18 @@ def build_norst_plan(
     K = LANE_GROUP // SUBLANES
 
     start_byte = (start_words * 4).astype(np.int64)
-    idx = start_byte[:, None] + np.arange(W * 4, dtype=np.int64)[None, :]
-    rows = np.where(
-        idx < len(dest), dest[np.minimum(idx, max(len(dest) - 1, 0))], 0xFF
-    ).astype(np.uint8)
-    rows_full = np.full((G * LANE_GROUP, W * 4), 0xFF, np.uint8)
-    rows_full[:L] = rows
+    # Row l is dest[start_byte[l] : +W*4], 0xFF past the stream end: a
+    # sliding-window VIEW + one row gather. (The obvious [L, W*4] index
+    # matrix materializes L*W*4 int64s — half a GB at 32K lanes — and
+    # was the no-restart host-prep bottleneck once the skeleton scan
+    # went parallel.)
+    row_bytes = W * 4
+    dest_pad = np.concatenate(
+        [dest, np.full(row_bytes + 8, 0xFF, np.uint8)]
+    )
+    windows = np.lib.stride_tricks.sliding_window_view(dest_pad, row_bytes)
+    rows_full = np.full((G * LANE_GROUP, row_bytes), 0xFF, np.uint8)
+    rows_full[:L] = windows[start_byte]
     bits = (
         np.ascontiguousarray(rows_full)
         .view(">u4")

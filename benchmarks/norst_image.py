@@ -67,35 +67,19 @@ def main():
     lane_m = jax.device_put(jnp.asarray(plan.lane_m))
     seg_bits = jax.device_put(jnp.asarray(plan.seg_bits))
     bit0 = jax.device_put(jnp.asarray(plan.bit0))
+    lane_mm = jax.device_put(jnp.asarray(plan.lane_meta[:, 2]))
+    lane_seg = jax.device_put(jnp.asarray(np.asarray(plan.lane_seg, np.int32)))
+    seg_first = jax.device_put(jnp.asarray(np.asarray(plan.seg_first, np.int32)))
     _ = int(csum(lane_m))
     upload_s = time.perf_counter() - t0
 
-    plan_static = (
-        plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus,
-        "coeff", None,
-    )
-    lane_mm = jnp.asarray(plan.lane_meta[:, 2])
+    fn = wp._norst_chain(plan, jpeg, interpret)
     qtabs = [jnp.asarray(jpeg.qtables[c.tq]) for c in jpeg.frame.components]
 
     def chip_decode():
-        out, err = wp.run_wavefront(
-            bits, lane_m, seg_bits, plan_static, plan.n_groups, interpret,
-            bit0=bit0,
+        coeffs, err = fn(
+            bits, lane_m, seg_bits, bit0, lane_mm, lane_seg, seg_first
         )
-        M, B = plan.n_mcus, plan.blocks_per_mcu
-        flat = (
-            out.reshape(
-                plan.n_groups, M * B * 64, wp.SUBLANES,
-                wp.LANE_GROUP // wp.SUBLANES,
-            )
-            .transpose(0, 2, 3, 1)
-            .reshape(plan.n_groups * wp.LANE_GROUP, M, B, 64)
-        )[: plan.n_lanes]
-        flat = wp._norst_dc_add(
-            flat, lane_mm, plan.blk_tables,
-            lane_seg=plan.lane_seg, seg_first=plan.seg_first,
-        )
-        coeffs = wp._norst_assemble(plan, flat, jpeg)
         rgb = kernel_pipeline.transform_batch(
             jpeg.frame, [c[None] for c in coeffs], qtabs, cfg
         )

@@ -1523,8 +1523,10 @@ def _norst_dc_add(flat, lane_m, blk_tables, extra_base=None,
         and len(seg_first) > 1
     )
     if segmented:
-        seg_first_j = jnp.asarray(np.asarray(seg_first, np.int32))
-        lane_seg_j = jnp.asarray(np.asarray(lane_seg, np.int32))
+        # jnp.asarray().astype(): works for host arrays AND tracers
+        # (this runs under the jitted norst chain).
+        seg_first_j = jnp.asarray(seg_first).astype(jnp.int32)
+        lane_seg_j = jnp.asarray(lane_seg).astype(jnp.int32)
     off_by_ci = {}
     for ci in cis:
         tot = jnp.take_along_axis(
@@ -1545,46 +1547,108 @@ def _norst_dc_add(flat, lane_m, blk_tables, extra_base=None,
     return flat.at[..., 0].add(add_b[:, None, :])
 
 
-def _norst_assemble(plan: BlockPlan, flat, jpeg) -> List[jnp.ndarray]:
-    """MCU-linear assembly of the fixed-up [L, M, B, 64] lanes into
-    per-component [padded_blocks, 64] zigzag grids (single image)."""
+def _norst_geom(jpeg) -> Tuple:
+    """Light static geometry for _norst_assemble_g / the jitted norst
+    chain (no JpegData references pinned in closures or cache keys)."""
     frame = jpeg.frame
     scan = jpeg.scans[0]
-    B = plan.blocks_per_mcu
-    rows = plan.norst_every
-    if scan.interleaved:
-        total_mcus = frame.mcus_x * frame.mcus_y
-    else:
-        c0 = frame.components[scan.comp_indices[0]]
-        total_mcus = c0.width_blocks * c0.height_blocks
-    mcus = flat[:, : min(rows, plan.n_mcus)].reshape(-1, B, 64)[:total_mcus]
-
-    if scan.interleaved:
-        by_ci: Dict[int, jnp.ndarray] = {}
-        b0 = 0
-        for sp, ci in enumerate(scan.comp_indices):
-            c = frame.components[ci]
-            nb = c.h * c.v
-            sub = mcus[:, b0 : b0 + nb]
-            b0 += nb
-            sub = sub.reshape(frame.mcus_y, frame.mcus_x, c.v, c.h, 64)
-            sub = sub.transpose(0, 2, 1, 3, 4).reshape(
-                c.padded_hb * c.padded_wb, 64
-            )
-            by_ci[ci] = sub
-        return [by_ci[c.index] for c in frame.components]
-    ci = scan.comp_indices[0]
-    c = frame.components[ci]
-    grid = mcus[:, 0].reshape(c.height_blocks, c.width_blocks, 64)
-    grid = jnp.pad(
-        grid,
-        (
-            (0, c.padded_hb - c.height_blocks),
-            (0, c.padded_wb - c.width_blocks),
-            (0, 0),
+    return (
+        scan.interleaved, tuple(scan.comp_indices),
+        frame.mcus_x, frame.mcus_y,
+        tuple(
+            (c.h, c.v, c.padded_hb, c.padded_wb, c.height_blocks,
+             c.width_blocks)
+            for c in frame.components
         ),
     )
-    return [grid.reshape(c.padded_hb * c.padded_wb, 64)]
+
+
+def _norst_assemble_g(geom: Tuple, B: int, rows: int, M: int, flat):
+    """MCU-linear assembly of the fixed-up [L, M, B, 64] lanes into
+    per-component [padded_blocks, 64] zigzag grids (single image)."""
+    interleaved, comp_indices, mcus_x, mcus_y, comps = geom
+    if interleaved:
+        total_mcus = mcus_x * mcus_y
+    else:
+        _h, _v, _phb, _pwb, hb, wb = comps[comp_indices[0]]
+        total_mcus = wb * hb
+    mcus = flat[:, : min(rows, M)].reshape(-1, B, 64)[:total_mcus]
+
+    if interleaved:
+        by_ci: Dict[int, jnp.ndarray] = {}
+        b0 = 0
+        for sp, ci in enumerate(comp_indices):
+            h, v, phb, pwb, _hb, _wb = comps[ci]
+            nb = h * v
+            sub = mcus[:, b0 : b0 + nb]
+            b0 += nb
+            sub = sub.reshape(mcus_y, mcus_x, v, h, 64)
+            sub = sub.transpose(0, 2, 1, 3, 4).reshape(phb * pwb, 64)
+            by_ci[ci] = sub
+        return [by_ci[ci] for ci in range(len(comps))]
+    ci = comp_indices[0]
+    _h, _v, phb, pwb, hb, wb = comps[ci]
+    grid = mcus[:, 0].reshape(hb, wb, 64)
+    grid = jnp.pad(grid, ((0, phb - hb), (0, pwb - wb), (0, 0)))
+    return [grid.reshape(phb * pwb, 64)]
+
+
+def _norst_assemble(plan: BlockPlan, flat, jpeg) -> List[jnp.ndarray]:
+    return _norst_assemble_g(
+        _norst_geom(jpeg), plan.blocks_per_mcu, plan.norst_every,
+        plan.n_mcus, flat,
+    )
+
+
+_NORST_CHAIN_CACHE: "collections.OrderedDict[Tuple, object]" = (
+    collections.OrderedDict()
+)
+_NORST_CHAIN_MAX = 32
+
+
+def _norst_chain(plan: BlockPlan, jpeg, interpret: bool):
+    """One jitted program for the whole no-restart device path: the
+    wavefront kernel + lane transpose + DC prefix fixup + assembly.
+    Eagerly those were a dozen dispatched ops per decode — on this
+    rig's relay backend the per-op round-trips rival the kernel time
+    (same lesson as the progressive chain). Keyed by geometry only."""
+    geom = _norst_geom(jpeg)
+    key = (
+        geom, plan.n_groups, plan.n_mcus, plan.n_words,
+        plan.blocks_per_mcu, plan.blk_tables, plan.n_lanes,
+        plan.norst_every, len(plan.seg_first), interpret,
+    )
+    fn = _NORST_CHAIN_CACHE.get(key)
+    if fn is not None:
+        _NORST_CHAIN_CACHE.move_to_end(key)
+        return fn
+
+    G, M, W = plan.n_groups, plan.n_mcus, plan.n_words
+    B = plan.blocks_per_mcu
+    n_lanes, rows = plan.n_lanes, plan.norst_every
+    blk_tables = plan.blk_tables
+    plan_static = (B, blk_tables, W, M, "coeff", None)
+
+    def run(bits, lane_m, seg_bits, bit0, lane_mm, lane_seg, seg_first):
+        out, err = run_wavefront(
+            bits, lane_m, seg_bits, plan_static, G, interpret, bit0=bit0
+        )
+        flat = (
+            out.reshape(G, M * B * 64, SUBLANES, LANE_GROUP // SUBLANES)
+            .transpose(0, 2, 3, 1)
+            .reshape(G * LANE_GROUP, M, B, 64)
+        )[:n_lanes]
+        flat = _norst_dc_add(
+            flat, lane_mm, blk_tables, lane_seg=lane_seg,
+            seg_first=seg_first,
+        )
+        return _norst_assemble_g(geom, B, rows, M, flat), err
+
+    fn = jax.jit(run)
+    _NORST_CHAIN_CACHE[key] = fn
+    while len(_NORST_CHAIN_CACHE) > _NORST_CHAIN_MAX:
+        _NORST_CHAIN_CACHE.popitem(last=False)
+    return fn
 
 
 def decode_norst_to_device(
@@ -1598,36 +1662,19 @@ def decode_norst_to_device(
     grids (device-resident). Raises on data errors (strict)."""
     plan = build_norst_plan(jpeg, every)
     interpret = jax.default_backend() != "tpu"
-    plan_static = (
-        plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus,
-        "coeff", None,
-    )
-    out, err = run_wavefront(
-        jnp.asarray(plan.bits),
-        jnp.asarray(plan.lane_m),
-        jnp.asarray(plan.seg_bits),
-        plan_static,
-        plan.n_groups,
-        interpret,
-        bit0=jnp.asarray(plan.bit0),
+    fn = _norst_chain(plan, jpeg, interpret)
+    coeffs, err = fn(
+        jnp.asarray(plan.bits), jnp.asarray(plan.lane_m),
+        jnp.asarray(plan.seg_bits), jnp.asarray(plan.bit0),
+        jnp.asarray(plan.lane_meta[:, 2]),
+        jnp.asarray(np.asarray(plan.lane_seg, np.int32)),
+        jnp.asarray(np.asarray(plan.seg_first, np.int32)),
     )
     errs = np.asarray(err).reshape(-1)[: plan.n_lanes]
     failures = failures_from_err(errs, plan.lane_meta)
     if failures:
         raise failures[min(failures)]
-
-    M, B = plan.n_mcus, plan.blocks_per_mcu
-    flat = (
-        out.reshape(plan.n_groups, M * B * 64, SUBLANES, LANE_GROUP // SUBLANES)
-        .transpose(0, 2, 3, 1)
-        .reshape(plan.n_groups * LANE_GROUP, M, B, 64)
-    )[: plan.n_lanes]
-    lane_m = jnp.asarray(plan.lane_meta[:, 2])
-    flat = _norst_dc_add(
-        flat, lane_m, plan.blk_tables,
-        lane_seg=plan.lane_seg, seg_first=plan.seg_first,
-    )
-    return _norst_assemble(plan, flat, jpeg)
+    return coeffs
 
 
 def decode_norst_sharded(

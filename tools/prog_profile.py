@@ -140,6 +140,20 @@ def main():
         sync(state[ci])
     t_full = time.perf_counter() - t0
 
+    # --- B2: the production one-jit chain (same work as B, one
+    # dispatch — the gap is the eager per-op dispatch tax).
+    fn, arrs, masks, kernel_plans = wprog.build_chain_inputs(jpegs, plans)
+    arrs = jax.device_put(arrs)
+    masks = jax.device_put(masks)
+    states2, errs2 = fn(arrs, masks)
+    for ci in range(frame.n_components):
+        sync(states2[0][ci])
+    t0 = time.perf_counter()
+    states2, errs2 = fn(arrs, masks)
+    for ci in range(frame.n_components):
+        sync(states2[0][ci])
+    t_chain = time.perf_counter() - t0
+
     # --- C: transform from device-resident coefficients.
     qtabs = [jnp.asarray(jpeg.qtables[c.tq]) for c in frame.components]
 
@@ -173,10 +187,11 @@ def main():
             {
                 "metric": f"prog_profile_{size}x{size}",
                 "scan_kernels_s": round(t_kernels, 4),
-                "full_entropy_s": round(t_full, 4),
-                "conversion_overhead_s": round(t_full - t_kernels, 4),
+                "full_entropy_eager_s": round(t_full, 4),
+                "full_entropy_chain_s": round(t_chain, 4),
+                "eager_dispatch_tax_s": round(t_full - t_chain, 4),
                 "transform_s": round(t_transform, 4),
-                "total_mp_per_s": round(mp / (t_full + t_transform), 1),
+                "total_mp_per_s": round(mp / (t_chain + t_transform), 1),
                 "bit_exact_vs_pil": exact,
                 "platform": __import__("jax").devices()[0].platform,
             }

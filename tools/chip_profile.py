@@ -55,7 +55,7 @@ def main() -> int:
     shape = (plan.blocks_per_mcu, plan.n_mcus, plan.n_groups)
     plan_static = (
         plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus,
-        "pixels", plan.qsets,
+        "pixels", plan.qsets, plan.comp_hv,
     )
 
     bits = jax.device_put(jnp.asarray(plan.bits))
@@ -72,7 +72,8 @@ def main() -> int:
         )
         # Depend on out so the kernel isn't dead-code-eliminated: a tiny
         # slice-sum forces the full decode.
-        return jnp.sum(out[:, :64, -1].astype(jnp.int32)) + jnp.sum(err), err
+        dep = sum(jnp.sum(o[..., -1].astype(jnp.int32)) for o in out)
+        return dep + jnp.sum(err), err
 
     @jax.jit
     def prog_b(bits, lane_m, seg_bits, lane_q):

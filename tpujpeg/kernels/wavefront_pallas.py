@@ -166,6 +166,10 @@ class BlockPlan:
     blocks_per_mcu: int
     # Static per-block-position: (comp_index, dc CanonTable, ac CanonTable)
     blk_tables: Tuple[Tuple[int, CanonTable, CanonTable], ...]
+    # Static per-scan-component (ci, h, v) in scan order — the pixels
+    # emit layout writes one output per scan component, tiled
+    # [v*8 rows, h*2 words] per MCU. Non-interleaved scans use (ci,1,1).
+    comp_hv: Tuple[Tuple[int, int, int], ...]
     # Geometry for assembly:
     frame_key: Tuple
     lane_meta: np.ndarray   # int32[L, 3]: (img, first_mcu, n_mcus)
@@ -190,6 +194,16 @@ class BlockPlan:
     # SEGMENTED exclusive cumsum over these groups.
     lane_seg: Optional[np.ndarray] = None  # int64[L]
     seg_first: Optional[np.ndarray] = None  # int64[n_marker_segments]
+
+
+def _comp_hv_of(frame, scan) -> Tuple[Tuple[int, int, int], ...]:
+    """(ci, h, v) per scan component for the pixels emit layout."""
+    if scan.interleaved:
+        return tuple(
+            (ci, frame.components[ci].h, frame.components[ci].v)
+            for ci in scan.comp_indices
+        )
+    return ((scan.comp_indices[0], 1, 1),)
 
 
 def build_block_plan(
@@ -394,6 +408,7 @@ def build_block_plan(
         n_words=W,
         blocks_per_mcu=len(blk_tables),
         blk_tables=blk_tables,
+        comp_hv=_comp_hv_of(jpegs[0].frame, jpegs[0].scans[0]),
         frame_key=key0,
         lane_meta=lane_meta,
         n_lanes=L,
@@ -412,18 +427,13 @@ def build_block_plan(
 
 def _window64(bits, cur, W):
     """64-bit window at bit offset `cur` ([8,K] int32) from the
-    lane's word row (int32 storage): one-hot masked reductions, no
-    gather. Mosaic can't reduce unsigned ints, so the select runs in
-    int32 and the result is bitcast to uint32 for logical shifts."""
+    lane's word row (int32 storage): two binary-fold loads, no gather.
+    Mosaic can't reduce unsigned ints, so the select runs in int32 and
+    the result is bitcast to uint32 for logical shifts."""
     w = cur >> 5
-    iota = jax.lax.broadcasted_iota(jnp.int32, (W, SUBLANES, LANE_GROUP // SUBLANES), 0)
-    m_hi = (iota == w[None]).astype(jnp.int32)
-    m_lo = (iota == (w + 1)[None]).astype(jnp.int32)
-    hi = jax.lax.bitcast_convert_type(
-        jnp.sum(m_hi * bits, axis=0), jnp.uint32
-    )
+    hi = jax.lax.bitcast_convert_type(_load_word(bits, w, W), jnp.uint32)
     lo = jax.lax.bitcast_convert_type(
-        jnp.sum(m_lo * bits, axis=0), jnp.uint32
+        _load_word(bits, w + 1, W), jnp.uint32
     )
     sh = (cur & 31).astype(jnp.uint32)
     win = (hi << sh) | jnp.where(
@@ -461,11 +471,30 @@ def _decode_symbol(bits, cur, tbl: CanonTable, W):
 
 
 def _load_word(bits, w, W):
-    """bits[w] per lane ([8, K] int32 indices) via one-hot reduction."""
-    iota = jax.lax.broadcasted_iota(
-        jnp.int32, (W, SUBLANES, LANE_GROUP // SUBLANES), 0
-    )
-    return jnp.sum((iota == w[None]).astype(jnp.int32) * bits, axis=0)
+    """bits[w] per lane ([8, K] int32 indices) via an MSB-first binary
+    fold: ~P selects for P = next pow2 >= W — the gather emulation on
+    the per-symbol hot path, ~3x fewer vector ops than the one-hot
+    masked reduction it replaces (compare+mul+reduce = 3W).
+
+    Out-of-range w (W / W+1, reached only at stream end where every
+    consumer lane is masked) reads a deterministic in-bounds slot —
+    same don't-care contract as the one-hot's zero."""
+    P = 1 << max(W - 1, 1).bit_length()
+    A = bits
+    if P != W:
+        A = jnp.concatenate(
+            [A, jnp.zeros((P - W,) + bits.shape[1:], bits.dtype)], axis=0
+        )
+    half = P // 2
+    while half >= 1:
+        sel = (w & half) != 0
+        lo, hi = A[:half], A[half:]
+        if half > 1:
+            A = jnp.where(sel[None], hi, lo)
+        else:
+            A = jnp.where(sel, hi[0], lo[0])
+        half //= 2
+    return A
 
 
 def _win_from_regs(w0, w1, cur):
@@ -510,22 +539,36 @@ def _receive_extend(win, length, size):
 
 def _make_kernel(plan_static):
     """Build the kernel function for one static config. plan_static =
-    (B, blk_tables, W, n_mcus, emit, qsets): emit='coeff' writes zigzag
-    coefficient blocks; emit='pixels' fuses dequant + islow IDCT +
-    level-shift into the epilogue (the completed block's coefficients
-    are already in registers, so the butterflies are nearly free and
-    the int32 coefficient round-trip through HBM disappears) and writes
-    uint8 samples. qsets (pixels mode only) is the tuple of distinct
+    (B, blk_tables, W, n_mcus, emit, qsets, comp_hv): emit='coeff'
+    writes zigzag coefficient blocks; emit='pixels' fuses dequant +
+    islow IDCT + level-shift into the epilogue (the completed block's
+    coefficients are already in registers, so the butterflies are
+    nearly free and the int32 coefficient round-trip through HBM
+    disappears) and writes, PER SCAN COMPONENT, int32 words of 4
+    raster-adjacent uint8 samples tiled [v*8 rows, h*2 words] per MCU —
+    the whole MCU row of a component is raster-contiguous in the
+    output, which turns downstream assembly into two large-granule
+    int32 transposes (see assemble_pixels). qsets (pixels mode only) is the tuple of distinct
     static quantizer sets in the batch; each lane picks its set via a
     one-hot over its lane_qset index, so mixed-quantizer batches still
     share one fused launch (a single set degenerates to bare
     constants)."""
-    B, blk_tables, W, n_mcus, emit, qsets = plan_static
+    B, blk_tables, W, n_mcus, emit, qsets, comp_hv = plan_static
     K = LANE_GROUP // SUBLANES
 
     receive_extend = _receive_extend
 
-    def kernel(lane_m_ref, bits_ref, lane_q_ref, bit0_ref, out_ref,
+    # Block position -> (scan comp index, dv, dh); blk_tables is built
+    # per scan component in v-major then h order (build_block_plan).
+    b_pos: List[Tuple[int, int, int]] = []
+    if emit == "pixels":
+        for sp, (_ci, h, v) in enumerate(comp_hv):
+            for dv in range(v):
+                for dh in range(h):
+                    b_pos.append((sp, dv, dh))
+        assert len(b_pos) == B, (len(b_pos), B)
+
+    def kernel(lane_m_ref, bits_ref, lane_q_ref, bit0_ref, outs,
                err_ref, cur_ref, end_ref, pred_ref, err_acc_ref,
                w0_ref, w1_ref):
         m = pl.program_id(1)
@@ -627,7 +670,7 @@ def _make_kernel(plan_static):
             w1_ref[:] = w1
 
             if emit == "coeff":
-                out_ref[0, 0, b] = acc
+                outs[0][0, 0, b] = acc
             else:
                 # Fused dequant + islow IDCT (same arithmetic as
                 # transform.idct8x8_islow, bit-exact) on the block
@@ -658,15 +701,31 @@ def _make_kernel(plan_static):
                     for c in range(8)
                 ]  # [8(r), 8, K] per column frequency c
                 o = T._idct_1d(s2, T.CONST_BITS + T.PASS1_BITS + 3)
-                rows = []
-                for r in range(8):
-                    for j in range(8):
-                        rows.append(
-                            jnp.clip(o[j][r] + 128, 0, 255).astype(jnp.uint8)
-                        )
-                # [512, K]: pixel n = r*8+j occupies sublane rows
-                # n*8..n*8+8 (the state sublane axis).
-                out_ref[b, 0, 0] = jnp.concatenate(rows, axis=0)
+                # Pack 4 raster-adjacent pixel columns into one int32
+                # word IN REGISTERS (byte 0 = lowest column) and store
+                # the block into its component's [v*8, h*2] MCU word
+                # tile: every downstream assembly transpose then moves
+                # int32 elements already in raster byte order — no
+                # byte-wide VPU shuffles, and the final u8 raster view
+                # is a free bitcast (assemble_pixels). Packing costs 3
+                # shift-ors per word here; unpacked u8 output cost
+                # ~60 ms/268 MP of byte-shuffle transposes outside the
+                # kernel.
+                sp, dv, dh = b_pos[b]
+                for q in range(2):
+                    rows_q = jnp.concatenate(
+                        [
+                            jnp.clip(o[4 * q + 0][r] + 128, 0, 255)
+                            | (jnp.clip(o[4 * q + 1][r] + 128, 0, 255) << 8)
+                            | (jnp.clip(o[4 * q + 2][r] + 128, 0, 255) << 16)
+                            | (jnp.clip(o[4 * q + 3][r] + 128, 0, 255) << 24)
+                            for r in range(8)
+                        ],
+                        axis=0,
+                    )  # [64, K]: row r at sublane rows r*8..r*8+8
+                    outs[sp][
+                        0, dv * 8 : (dv + 1) * 8, 0, dh * 2 + q
+                    ] = rows_q.reshape(8, SUBLANES, K)
             cur_ref[:] = cur
             err_acc_ref[:] = err
 
@@ -684,7 +743,11 @@ def run_wavefront(
     bits, lane_m, seg_bits, plan_static, n_groups: int, interpret: bool,
     lane_qset=None, bit0=None,
 ):
-    B, blk_tables, W, n_mcus, emit, qsets = plan_static
+    """Returns (out, err). emit='coeff': out is one int32 array
+    [G, M, B, 64, 8, K]. emit='pixels': out is a TUPLE of per-scan-
+    component int32 word arrays [G, v*8, M, h*2, 8, K] (4 raster
+    pixels per word)."""
+    B, blk_tables, W, n_mcus, emit, qsets, comp_hv = plan_static
     K = LANE_GROUP // SUBLANES
     base = _make_kernel(plan_static)
     # Device-side layout change: [G, 8, K, W] host order -> the
@@ -695,67 +758,67 @@ def run_wavefront(
     if bit0 is None:
         bit0 = jnp.zeros((n_groups, SUBLANES, K), jnp.int32)
 
+    n_out = len(comp_hv) if emit == "pixels" else 1
+
     def kernel(lane_m_ref, bits_ref, end_ref, lane_q_ref, bit0_ref,
-               out_ref, err_ref, cur_ref, pred_ref, err_acc_ref,
-               w0_ref, w1_ref):
+               *rest):
+        outs = rest[:n_out]
+        err_ref = rest[n_out]
+        cur_ref, pred_ref, err_acc_ref, w0_ref, w1_ref = rest[n_out + 1 :]
         base(
-            lane_m_ref, bits_ref, lane_q_ref, bit0_ref, out_ref, err_ref,
+            lane_m_ref, bits_ref, lane_q_ref, bit0_ref, outs, err_ref,
             cur_ref, end_ref, pred_ref, err_acc_ref, w0_ref, w1_ref,
         )
 
-    grid = (n_groups, n_mcus)
-    out, err = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, SUBLANES, K), lambda g, m: (g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, W, SUBLANES, K), lambda g, m: (g, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, SUBLANES, K), lambda g, m: (g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, SUBLANES, K), lambda g, m: (g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, SUBLANES, K), lambda g, m: (g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=(
+    lane_spec = pl.BlockSpec(
+        (1, SUBLANES, K), lambda g, m: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+    if emit == "coeff":
+        out_specs = (
             pl.BlockSpec(
                 (1, 1, B, 64, SUBLANES, K),
                 lambda g, m: (g, m, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
-            )
-            if emit == "coeff"
-            else pl.BlockSpec(
-                (B, 1, 1, 64 * SUBLANES, K),
-                lambda g, m: (0, g, m, 0, 0),
-                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, SUBLANES, K), lambda g, m: (g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
-        out_shape=(
+        )
+        out_shapes = (
             jax.ShapeDtypeStruct(
                 (n_groups, n_mcus, B, 64, SUBLANES, K), jnp.int32
-            )
-            if emit == "coeff"
-            else jax.ShapeDtypeStruct(
-                (B, n_groups, n_mcus, 64 * SUBLANES, K), jnp.uint8
             ),
-            jax.ShapeDtypeStruct((n_groups, SUBLANES, K), jnp.int32),
-        ),
+        )
+    else:
+        out_specs = tuple(
+            pl.BlockSpec(
+                (1, v * 8, 1, h * 2, SUBLANES, K),
+                lambda g, m: (g, 0, m, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for _ci, h, v in comp_hv
+        )
+        out_shapes = tuple(
+            jax.ShapeDtypeStruct(
+                (n_groups, v * 8, n_mcus, h * 2, SUBLANES, K), jnp.int32
+            )
+            for _ci, h, v in comp_hv
+        )
+
+    grid = (n_groups, n_mcus)
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            lane_spec,
+            pl.BlockSpec(
+                (1, W, SUBLANES, K), lambda g, m: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            lane_spec,
+            lane_spec,
+            lane_spec,
+        ],
+        out_specs=out_specs + (lane_spec,),
+        out_shape=out_shapes
+        + (jax.ShapeDtypeStruct((n_groups, SUBLANES, K), jnp.int32),),
         scratch_shapes=[
             pltpu.VMEM((SUBLANES, K), jnp.int32),      # cursor
             pltpu.VMEM((4, SUBLANES, K), jnp.int32),   # DC predictors
@@ -765,7 +828,10 @@ def run_wavefront(
         ],
         interpret=interpret,
     )(lane_m, bits, seg_bits, lane_qset, bit0)
-    return out, err
+    err = res[-1]
+    if emit == "coeff":
+        return res[0], err
+    return tuple(res[:-1]), err
 
 
 # ---------------------------------------------------------------------------
@@ -853,7 +919,7 @@ def decode_batch_to_device(
     interpret = jax.default_backend() != "tpu"
     plan_static = (
         plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus,
-        "coeff", None,
+        "coeff", None, (),
     )
     out, err = run_wavefront(
         jnp.asarray(plan.bits),
@@ -958,35 +1024,86 @@ class ImageGeom:
         )
 
 
-def assemble_pixels(
-    shape: Tuple[int, int, int], out: jnp.ndarray, geoms: Sequence[ImageGeom]
-) -> List[List[jnp.ndarray]]:
-    """[B, G, M, 512, K] uint8 kernel output -> per image, per component
-    sample planes [padded_h, padded_w] (device-resident), via static
-    reshape/transposes on uint8 (4x less traffic than coefficient
-    assembly). `shape` = (blocks_per_mcu, n_mcus, n_groups). Per-image
-    restart intervals are honored by slicing each image's lanes to its
-    own MCUs-per-lane before flattening."""
-    B, M, G = shape
-    K = LANE_GROUP // SUBLANES
-    # dim3 = n*8 + s (pixel n, state sublane s): split, lane-major.
-    # Two tricks keep this — the chain's single big data movement — off
-    # XLA's slow paths (chip_profile measured the naive u8 form at
-    # ~8 GB/s, ~100x under HBM bandwidth):
-    #   * merge (M, 64) so the post-transpose minor dim is a
-    #     128-multiple (separate tiny minors tile-pad up to 64x);
-    #   * run the big transpose at int32 width (bitcast-pack 4 adjacent
-    #     lanes), then fix lane order with a small local byte shuffle —
-    #     byte-wide VPU shuffles are the slow part.
-    x32 = jax.lax.bitcast_convert_type(
-        out.reshape(B, G, M * 64, SUBLANES, K // 4, 4), jnp.int32
-    )  # [B, G, M*64, 8, K/4]
-    t = x32.transpose(0, 1, 3, 4, 2)  # [B, G, 8, K/4, M*64] int32
-    u = jax.lax.bitcast_convert_type(t, jnp.uint8)  # [..., M*64, 4]
-    px = (
-        u.transpose(0, 1, 2, 3, 5, 4)  # [..., 4, M*64]: local shuffle
-        .reshape(B, G * LANE_GROUP, M, 64)
+def _comp_lanes(arr: jnp.ndarray) -> jnp.ndarray:
+    """One component's kernel output [G, v8, M, w2, 8, K] int32 ->
+    [lane, v8, M, w2] per-lane word tiles. XLA merges (v8, M, w2) and
+    (8, K), so this is ONE clean 2-D int32 transpose with kilobyte-scale
+    granules — the only whole-data transpose between the decode kernel
+    and the raster."""
+    G, v8, M, w2 = arr.shape[0], arr.shape[1], arr.shape[2], arr.shape[3]
+    return arr.transpose(0, 4, 5, 1, 2, 3).reshape(
+        G * LANE_GROUP, v8, M, w2
     )
+
+
+def _words_to_plane(a: jnp.ndarray) -> jnp.ndarray:
+    """[..., W4] int32 raster words -> [..., W4*4] uint8 raster (free
+    little-endian bitcast: byte 0 of each word is its lowest column)."""
+    u = jax.lax.bitcast_convert_type(a, jnp.uint8)
+    return u.reshape(*a.shape[:-1], a.shape[-1] * 4)
+
+
+def _raster_words(
+    lanes: jnp.ndarray, mcus_y: int, mcus_x: int, rows: int,
+    total_mcus: int, pad_hb8: int, pad_w2: int
+) -> jnp.ndarray:
+    """One image's, one component's lane tiles [nseg, v8, M, w2] ->
+    raster word grid [pad_hb8, pad_w2] int32 (leading batch dims pass
+    through). `rows` = MCUs actually covered per lane (<= M).
+
+    Fast path: when every lane covers `rows` consecutive MCUs of ONE
+    MCU row (rows divides mcus_x), the raster transpose's minor run is
+    the whole (M, w2) tile — 64+ byte granules. Otherwise MCU-linear."""
+    lead = lanes.shape[:-4]
+    nseg, v8, M, w2 = lanes.shape[-4:]
+    lanes = lanes[..., :rows, :]
+    if mcus_x % rows == 0 and nseg * rows >= mcus_y * mcus_x:
+        sx = mcus_x // rows
+        a = lanes.reshape(*lead, mcus_y, sx, v8, rows, w2)
+        nd = len(lead)
+        perm = tuple(range(nd)) + tuple(
+            nd + i for i in (0, 2, 1, 3, 4)
+        )
+        a = a.transpose(*perm).reshape(
+            *lead, mcus_y * v8, sx * rows * w2
+        )
+    else:
+        nd = len(lead)
+        # MCU-linear: (nseg, rows) merge needs v8 moved out from
+        # between them first.
+        perm = tuple(range(nd)) + tuple(nd + i for i in (0, 2, 1, 3))
+        a = lanes.transpose(*perm).reshape(*lead, nseg * rows, v8, w2)[
+            ..., :total_mcus, :, :
+        ]
+        a = a.reshape(*lead, mcus_y, mcus_x, v8, w2)
+        a = a.transpose(*perm).reshape(
+            *lead, mcus_y * v8, mcus_x * w2
+        )
+    pr = pad_hb8 - a.shape[-2]
+    pc = pad_w2 - a.shape[-1]
+    if pr or pc:
+        a = jnp.pad(
+            a, ((0, 0),) * len(lead) + ((0, pr), (0, pc))
+        )
+    return a
+
+
+def assemble_pixels(
+    shape: Tuple[int, int, int],
+    out: Sequence[jnp.ndarray],
+    geoms: Sequence[ImageGeom],
+) -> List[List[jnp.ndarray]]:
+    """Per-scan-component kernel outputs [G, v8, M, w2, 8, K] int32
+    (4 raster-adjacent pixels per word, MCU tiles packed in-register by
+    the kernel epilogue) -> per image, per component sample planes
+    [padded_h, padded_w] uint8 (device-resident). Every transpose moves
+    int32 elements whose bytes are already in raster order, so no
+    byte-granular shuffle ever runs and the final u8 view is a bitcast.
+    `shape` = (blocks_per_mcu, n_mcus, n_groups). Per-image restart
+    intervals are honored by slicing each image's lanes to its own
+    MCUs-per-lane before flattening."""
+    B, M, G = shape
+    comps_lanes = [_comp_lanes(arr) for arr in out]
 
     results: List[List[jnp.ndarray]] = []
     lane0 = 0
@@ -995,48 +1112,30 @@ def assemble_pixels(
         scan = geom
         if scan.interleaved:
             total_mcus = frame.mcus_x * frame.mcus_y
+            mcus_y, mcus_x = frame.mcus_y, frame.mcus_x
         else:
             c0 = frame.components[scan.comp_indices[0]]
             total_mcus = c0.width_blocks * c0.height_blocks
+            mcus_y, mcus_x = c0.height_blocks, c0.width_blocks
         rows = min(scan.restart_interval or total_mcus, total_mcus)
         nseg = -(-total_mcus // rows)
-        sub = px[:, lane0 : lane0 + nseg, :rows].reshape(
-            B, nseg * rows, 64
-        )[:, :total_mcus]
-        lane0 += nseg
 
+        by_ci: Dict[int, jnp.ndarray] = {}
+        for sp, ci in enumerate(
+            scan.comp_indices if scan.interleaved else scan.comp_indices[:1]
+        ):
+            c = frame.components[ci]
+            sub = comps_lanes[sp][lane0 : lane0 + nseg]
+            grid = _raster_words(
+                sub, mcus_y, mcus_x, rows, total_mcus,
+                c.padded_hb * 8, c.padded_wb * 2,
+            )
+            by_ci[ci] = _words_to_plane(grid)
+        lane0 += nseg
         if scan.interleaved:
-            by_ci: Dict[int, jnp.ndarray] = {}
-            b0 = 0
-            for sp, ci in enumerate(scan.comp_indices):
-                c = frame.components[ci]
-                nb = c.h * c.v
-                a = sub[b0 : b0 + nb]  # [v*h, mcus, 64]
-                b0 += nb
-                a = a.reshape(c.v, c.h, frame.mcus_y, frame.mcus_x, 8, 8)
-                # plane[(my*v+dv)*8+r, (mx*h+dh)*8+cc]
-                a = a.transpose(2, 0, 4, 3, 1, 5).reshape(
-                    c.padded_hb * 8, c.padded_wb * 8
-                )
-                by_ci[ci] = a
             planes = [by_ci[c.index] for c in frame.components]
         else:
-            ci = scan.comp_indices[0]
-            c = frame.components[ci]
-            a = sub[0].reshape(c.height_blocks, c.width_blocks, 8, 8)
-            a = a.transpose(0, 2, 1, 3).reshape(
-                c.height_blocks * 8, c.width_blocks * 8
-            )
-            # Zero-pad to the MCU-padded grid; the crop before
-            # upsampling never reaches the padding.
-            a = jnp.pad(
-                a,
-                (
-                    (0, c.padded_hb * 8 - a.shape[0]),
-                    (0, c.padded_wb * 8 - a.shape[1]),
-                ),
-            )
-            planes = [a]
+            planes = [by_ci[scan.comp_indices[0]]]
         results.append(planes)
     return results
 
@@ -1079,61 +1178,36 @@ def assemble_pixels_stacked(
         ]
 
     n = len(geoms)
-    K = LANE_GROUP // SUBLANES
     if g0.interleaved:
         total_mcus = frame.mcus_x * frame.mcus_y
+        mcus_y, mcus_x = frame.mcus_y, frame.mcus_x
     else:
         c0 = frame.components[g0.comp_indices[0]]
         total_mcus = c0.width_blocks * c0.height_blocks
+        mcus_y, mcus_x = c0.height_blocks, c0.width_blocks
     rows = min(g0.restart_interval or total_mcus, total_mcus)
     nseg = -(-total_mcus // rows)
 
-    # Same int32-width lane transpose as assemble_pixels, stopping at
-    # [B, lane, M, 64]; the per-image slicing becomes one reshape since
-    # every image owns exactly `nseg` consecutive lanes.
-    x32 = jax.lax.bitcast_convert_type(
-        out.reshape(B, G, M * 64, SUBLANES, K // 4, 4), jnp.int32
-    )
-    t = x32.transpose(0, 1, 3, 4, 2)
-    u = jax.lax.bitcast_convert_type(t, jnp.uint8)
-    px = (
-        u.transpose(0, 1, 2, 3, 5, 4)
-        .reshape(B, G * LANE_GROUP, M, 64)
-    )
-    sub = px[:, : n * nseg].reshape(B, n, nseg * M, 64)[:, :, :total_mcus]
-
+    # Same clean 2-D int32 lane transpose as assemble_pixels; the
+    # per-image slicing becomes one reshape since every image owns
+    # exactly `nseg` consecutive lanes.
     stacked: List[jnp.ndarray] = []
+    by_ci: Dict[int, jnp.ndarray] = {}
+    comp_cis = g0.comp_indices if g0.interleaved else g0.comp_indices[:1]
+    for sp, ci in enumerate(comp_cis):
+        c = frame.components[ci]
+        lanes = _comp_lanes(out[sp])[: n * nseg]
+        v8, w2 = lanes.shape[1], lanes.shape[3]
+        lanes = lanes.reshape(n, nseg, v8, M, w2)
+        grid = _raster_words(
+            lanes, mcus_y, mcus_x, rows, total_mcus,
+            c.padded_hb * 8, c.padded_wb * 2,
+        )
+        by_ci[ci] = _words_to_plane(grid)
     if g0.interleaved:
-        by_ci: Dict[int, jnp.ndarray] = {}
-        b0 = 0
-        for sp, ci in enumerate(g0.comp_indices):
-            c = frame.components[ci]
-            nb = c.h * c.v
-            a = sub[b0 : b0 + nb]  # [v*h, n, mcus, 64]
-            b0 += nb
-            a = a.reshape(c.v, c.h, n, frame.mcus_y, frame.mcus_x, 8, 8)
-            # plane[i, (my*v+dv)*8+r, (mx*h+dh)*8+cc]
-            a = a.transpose(2, 3, 0, 5, 4, 1, 6).reshape(
-                n, c.padded_hb * 8, c.padded_wb * 8
-            )
-            by_ci[ci] = a
         stacked = [by_ci[c.index] for c in frame.components]
     else:
-        ci = g0.comp_indices[0]
-        c = frame.components[ci]
-        a = sub[0].reshape(n, c.height_blocks, c.width_blocks, 8, 8)
-        a = a.transpose(0, 1, 3, 2, 4).reshape(
-            n, c.height_blocks * 8, c.width_blocks * 8
-        )
-        a = jnp.pad(
-            a,
-            (
-                (0, 0),
-                (0, c.padded_hb * 8 - a.shape[1]),
-                (0, c.padded_wb * 8 - a.shape[2]),
-            ),
-        )
-        stacked = [a]
+        stacked = [by_ci[g0.comp_indices[0]]]
     return stacked
 
 
@@ -1158,7 +1232,7 @@ def _rgb_chain(plan: BlockPlan, jpegs, config, interpret: bool):
     n_images = len(jpegs)
     plan_static = (
         plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus,
-        "pixels", plan.qsets,
+        "pixels", plan.qsets, plan.comp_hv,
     )
     key = (
         plan_static, plan.n_groups, plan.frame_key, n_images,
@@ -1484,6 +1558,7 @@ def build_norst_plan(
         n_words=W,
         blocks_per_mcu=len(tables),
         blk_tables=tuple(tables),
+        comp_hv=_comp_hv_of(frame, scan),
         frame_key=(
             frame.height, frame.width,
             tuple((c.h, c.v) for c in frame.components),
@@ -1627,7 +1702,7 @@ def _norst_chain(plan: BlockPlan, jpeg, interpret: bool):
     B = plan.blocks_per_mcu
     n_lanes, rows = plan.n_lanes, plan.norst_every
     blk_tables = plan.blk_tables
-    plan_static = (B, blk_tables, W, M, "coeff", None)
+    plan_static = (B, blk_tables, W, M, "coeff", None, ())
 
     def run(bits, lane_m, seg_bits, bit0, lane_mm, lane_seg, seg_first):
         out, err = run_wavefront(
@@ -1724,7 +1799,7 @@ def decode_norst_sharded(
     bit0 = gpad(plan.bit0)
     gd = Gp // d  # groups per device
     M, B = plan.n_mcus, plan.blocks_per_mcu
-    plan_static = (B, plan.blk_tables, plan.n_words, M, "coeff", None)
+    plan_static = (B, plan.blk_tables, plan.n_words, M, "coeff", None, ())
     interpret = jax.default_backend() != "tpu"
     blk_tables = plan.blk_tables
     cis = sorted({ci for ci, _d2, _a in blk_tables})
@@ -1846,7 +1921,7 @@ def decode_batch_to_rgb_sharded(
 
     plan_static = (
         p0.blocks_per_mcu, p0.blk_tables, p0.n_words, p0.n_mcus,
-        "pixels", p0.qsets,
+        "pixels", p0.qsets, p0.comp_hv,
     )
     interpret = jax.default_backend() != "tpu"
     frame = chunks[0][0].frame

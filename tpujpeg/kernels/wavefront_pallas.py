@@ -644,9 +644,11 @@ def _make_kernel(plan_static):
                 nk = _k + jnp.where(size > 0, run, 0)
                 overrun = busy & (size > 0) & (nk > 63)
                 emit = busy & (size > 0) & (nk <= 63)
-                _acc = _acc + jnp.where(
-                    (kiota == nk[None]) & emit[None], val[None], 0
-                )
+                # Fold the emit mask into the value ([8,K], cheap) so
+                # the [64,8,K] scatter is one compare + one select+add:
+                # a non-emitting lane may still match kiota but adds 0.
+                vmask = jnp.where(emit, val, 0)
+                _acc = _acc + jnp.where(kiota == nk[None], vmask[None], 0)
                 nc = _cur + jnp.where(busy, alen + size, 0)
                 _w0, _w1 = _advance_regs(bits, _w0, _w1, _cur, nc, W)
                 _cur = nc

@@ -841,31 +841,32 @@ def run_wavefront(
 # ---------------------------------------------------------------------------
 
 
-def assemble(plan: BlockPlan, out: jnp.ndarray, jpegs) -> List[List[jnp.ndarray]]:
+def assemble(
+    shape: Tuple[int, int, int], out: jnp.ndarray,
+    geoms: Sequence["ImageGeom"],
+) -> List[List[jnp.ndarray]]:
     """[G, M, B, 64, 8, K] -> per image, per component [nb, 64] zigzag
     coefficient arrays (device-resident), via static transposes only.
+    `shape` = (blocks_per_mcu, n_mcus, n_groups).
 
     Each image's lanes are sliced to that image's own MCUs-per-lane
     (its restart interval) before flattening, so images with different
     restart intervals coexist in one launch (SURVEY.md §3.5)."""
-    frame = jpegs[0].frame
-    B = plan.blocks_per_mcu
-    M = plan.n_mcus
+    B, M, n_groups = shape
     K = LANE_GROUP // SUBLANES
 
     # [G, M, B, 64, 8, K] -> [lane, M, B, 64] with lane = g*2048 + s*K + j.
     # (M, B, 64) merge before the transpose: see assemble_pixels.
     flat = (
-        out.reshape(plan.n_groups, M * B * 64, SUBLANES, K)
+        out.reshape(n_groups, M * B * 64, SUBLANES, K)
         .transpose(0, 2, 3, 1)
-        .reshape(plan.n_groups * LANE_GROUP, M, B, 64)
+        .reshape(n_groups * LANE_GROUP, M, B, 64)
     )
 
     results: List[List[jnp.ndarray]] = []
     lane0 = 0
-    for img_i, jpeg in enumerate(jpegs):
-        frame = jpeg.frame
-        scan = jpeg.scans[0]
+    for scan in geoms:
+        frame = scan.frame
         interleaved = scan.interleaved
         if interleaved:
             total_mcus = frame.mcus_x * frame.mcus_y
@@ -882,7 +883,7 @@ def assemble(plan: BlockPlan, out: jnp.ndarray, jpegs) -> List[List[jnp.ndarray]
         by_ci: Dict[int, jnp.ndarray] = {}
         b0 = 0
         if interleaved:
-            for sp, ci in enumerate(jpeg.scans[0].comp_indices):
+            for sp, ci in enumerate(scan.comp_indices):
                 c = frame.components[ci]
                 nb = c.h * c.v
                 sub = mcus[:, b0 : b0 + nb]  # [mcus, v*h, 64]
@@ -910,6 +911,52 @@ def assemble(plan: BlockPlan, out: jnp.ndarray, jpegs) -> List[List[jnp.ndarray]
 # ---------------------------------------------------------------------------
 
 
+_COEFF_CHAIN_CACHE: "collections.OrderedDict[Tuple, object]" = (
+    collections.OrderedDict()
+)
+_COEFF_CHAIN_MAX = 64
+
+
+def _coeff_chain(plan: BlockPlan, geoms, interpret: bool):
+    """One jitted program for kernel + coefficient assembly: eagerly the
+    per-image assembly transposes were a dispatch each — dozens of relay
+    round-trips per mixed-table bucket (the coeff fallback's common
+    customer). Keyed by static geometry only; closures capture ImageGeom
+    (no bitstreams)."""
+    plan_static = (
+        plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus,
+        "coeff", None, (),
+    )
+    shape = (plan.blocks_per_mcu, plan.n_mcus, plan.n_groups)
+    key = (
+        plan_static, plan.n_groups,
+        tuple(
+            (g.frame.height, g.frame.width,
+             tuple((c.h, c.v) for c in g.frame.components),
+             g.interleaved, g.comp_indices, g.restart_interval)
+            for g in geoms
+        ),
+        interpret,
+    )
+    fn = _COEFF_CHAIN_CACHE.get(key)
+    if fn is None:
+        n_groups = plan.n_groups
+
+        @jax.jit
+        def fn(bits, lane_m, seg_bits):
+            out, err = run_wavefront(
+                bits, lane_m, seg_bits, plan_static, n_groups, interpret
+            )
+            return assemble(shape, out, geoms), err
+
+        _COEFF_CHAIN_CACHE[key] = fn
+        while len(_COEFF_CHAIN_CACHE) > _COEFF_CHAIN_MAX:
+            _COEFF_CHAIN_CACHE.popitem(last=False)
+    else:
+        _COEFF_CHAIN_CACHE.move_to_end(key)
+    return fn
+
+
 def decode_batch_to_device(
     jpegs: Sequence[bitstream.JpegData],
     config: DecodeConfig = DEFAULT_CONFIG,
@@ -919,17 +966,12 @@ def decode_batch_to_device(
     as wavefront.decode_batch_to_device."""
     plan = build_block_plan(jpegs)
     interpret = jax.default_backend() != "tpu"
-    plan_static = (
-        plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus,
-        "coeff", None, (),
-    )
-    out, err = run_wavefront(
+    geoms = tuple(ImageGeom.of(j) for j in jpegs)
+    fn = _coeff_chain(plan, geoms, interpret)
+    assembled, err = fn(
         jnp.asarray(plan.bits),
         jnp.asarray(plan.lane_m),
         jnp.asarray(plan.seg_bits),
-        plan_static,
-        plan.n_groups,
-        interpret,
     )
 
     errs = np.asarray(err).reshape(-1)[: plan.n_lanes]
@@ -937,7 +979,6 @@ def decode_batch_to_device(
     if strict and failures:
         raise failures[min(failures)]
 
-    assembled = assemble(plan, out, jpegs)
     results: List[Optional[List[jnp.ndarray]]] = []
     for i in range(len(jpegs)):
         results.append(None if i in failures else assembled[i])

@@ -595,6 +595,9 @@ def _make_kernel(plan_static):
             w1_ref[:] = _load_word(bits, (c0 >> 5) + 1, W)
 
         active = m < lane_m          # [8, K] lanes that have this MCU
+        # (int16 accumulator/iota was tried to halve the scatter width:
+        # v5e Mosaic rejects i16 vector compares — "Target does not
+        # support this comparison" — so the scatter stays int32.)
         kiota = jax.lax.broadcasted_iota(
             jnp.int32, (64, SUBLANES, K), 0
         )
@@ -620,9 +623,7 @@ def _make_kernel(plan_static):
             cur = cur2
             err = jnp.where(bad, _ERR_BADCODE, err)
 
-            acc = jnp.where(
-                (kiota == 0) & ok[None], pred[None], 0
-            ).astype(jnp.int32)
+            acc = jnp.zeros((64, SUBLANES, K), jnp.int32)
 
             # --- AC: while any lane's block is unfinished. ---
             def cond(st):
@@ -670,9 +671,13 @@ def _make_kernel(plan_static):
             )
             w0_ref[:] = w0
             w1_ref[:] = w1
+            # Merge the int32 DC (predictor) over the int16 AC rows.
+            dc_row = jnp.where(ok, pred, 0)
 
             if emit == "coeff":
-                outs[0][0, 0, b] = acc
+                outs[0][0, 0, b] = jnp.concatenate(
+                    [dc_row[None], acc[1:]], axis=0
+                )
             else:
                 # Fused dequant + islow IDCT (same arithmetic as
                 # transform.idct8x8_islow, bit-exact) on the block
@@ -684,15 +689,16 @@ def _make_kernel(plan_static):
                 deq = []
                 for n in range(64):
                     zz = int(NATURAL_TO_ZIGZAG[n])
+                    cv = dc_row if zz == 0 else acc[zz]
                     if nq == 1:
-                        deq.append(acc[zz] * qsets[0][b][zz])
+                        deq.append(cv * qsets[0][b][zz])
                     else:
                         # Per-lane quantizer: one-hot select over the
                         # batch's distinct sets (all static constants).
                         qv = qsel[0] * qsets[0][b][zz]
                         for s in range(1, nq):
                             qv = qv + qsel[s] * qsets[s][b][zz]
-                        deq.append(acc[zz] * qv)
+                        deq.append(cv * qv)
                 grp = [
                     jnp.stack(deq[i * 8 : (i + 1) * 8], axis=0)
                     for i in range(8)

@@ -570,7 +570,7 @@ def _make_kernel(plan_static):
 
     def kernel(lane_m_ref, bits_ref, lane_q_ref, bit0_ref, outs,
                err_ref, cur_ref, end_ref, pred_ref, err_acc_ref,
-               w0_ref, w1_ref):
+               w0_ref, w1_ref, acc_ref, k_ref):
         m = pl.program_id(1)
         bits = bits_ref[0]          # [W, 8, K]
         lane_m = lane_m_ref[0]      # [8, K]
@@ -623,16 +623,28 @@ def _make_kernel(plan_static):
             cur = cur2
             err = jnp.where(bad, _ERR_BADCODE, err)
 
-            acc = jnp.zeros((64, SUBLANES, K), jnp.int32)
+            # ALL loop state lives in VMEM scratch refs, updated in
+            # place: Mosaic copies while_loop carries every trip, which
+            # for the old 512 KB accumulator carry alone was ~20% of
+            # kernel time. The carry is just the trip counter.
+            acc_ref[:] = jnp.zeros((64, SUBLANES, K), jnp.int32)
+            cur_ref[:] = cur
+            w0_ref[:] = w0
+            w1_ref[:] = w1
+            err_acc_ref[:] = err
+            k_ref[:] = jnp.where(ok, 1, 64)  # done lanes skip the loop
 
             # --- AC: while any lane's block is unfinished. ---
-            def cond(st):
-                _cur, _w0, _w1, _k, _err, _acc, step = st
-                busy = ok & (_k < 64) & (_err == 0)
+            def cond(step):
+                busy = ok & (k_ref[:] < 64) & (err_acc_ref[:] == 0)
                 return jnp.any(busy) & (step < 64)
 
-            def body(st):
-                _cur, _w0, _w1, _k, _err, _acc, step = st
+            def body(step):
+                _cur = cur_ref[:]
+                _k = k_ref[:]
+                _err = err_acc_ref[:]
+                _w0 = w0_ref[:]
+                _w1 = w1_ref[:]
                 busy = ok & (_k < 64) & (_err == 0)
                 awin = _win_from_regs(_w0, _w1, _cur)
                 rs, alen = _decode_symbol_win(awin, act)
@@ -649,11 +661,15 @@ def _make_kernel(plan_static):
                 # the [64,8,K] scatter is one compare + one select+add:
                 # a non-emitting lane may still match kiota but adds 0.
                 vmask = jnp.where(emit, val, 0)
-                _acc = _acc + jnp.where(kiota == nk[None], vmask[None], 0)
+                acc_ref[:] = acc_ref[:] + jnp.where(
+                    kiota == nk[None], vmask[None], 0
+                )
                 nc = _cur + jnp.where(busy, alen + size, 0)
                 _w0, _w1 = _advance_regs(bits, _w0, _w1, _cur, nc, W)
-                _cur = nc
-                _k = jnp.where(
+                w0_ref[:] = _w0
+                w1_ref[:] = _w1
+                cur_ref[:] = nc
+                k_ref[:] = jnp.where(
                     busy,
                     jnp.where(
                         is_eob, 64,
@@ -662,15 +678,13 @@ def _make_kernel(plan_static):
                     _k,
                 )
                 _err = jnp.where(badc, _ERR_BADCODE, _err)
-                _err = jnp.where(overrun, _ERR_RUN, _err)
-                return (_cur, _w0, _w1, _k, _err, _acc, step + 1)
+                err_acc_ref[:] = jnp.where(overrun, _ERR_RUN, _err)
+                return step + 1
 
-            k0 = jnp.where(ok, 1, 64)  # done lanes skip the AC loop
-            cur, w0, w1, _k, err, acc, _ = jax.lax.while_loop(
-                cond, body, (cur, w0, w1, k0, err, acc, jnp.int32(0))
-            )
-            w0_ref[:] = w0
-            w1_ref[:] = w1
+            jax.lax.while_loop(cond, body, jnp.int32(0))
+            acc = acc_ref[:]
+            cur = cur_ref[:]
+            err = err_acc_ref[:]
             # Merge the int32 DC (predictor) over the int16 AC rows.
             dc_row = jnp.where(ok, pred, 0)
 
@@ -772,10 +786,12 @@ def run_wavefront(
                *rest):
         outs = rest[:n_out]
         err_ref = rest[n_out]
-        cur_ref, pred_ref, err_acc_ref, w0_ref, w1_ref = rest[n_out + 1 :]
+        (cur_ref, pred_ref, err_acc_ref, w0_ref, w1_ref,
+         acc_ref, k_ref) = rest[n_out + 1 :]
         base(
             lane_m_ref, bits_ref, lane_q_ref, bit0_ref, outs, err_ref,
             cur_ref, end_ref, pred_ref, err_acc_ref, w0_ref, w1_ref,
+            acc_ref, k_ref,
         )
 
     lane_spec = pl.BlockSpec(
@@ -833,6 +849,8 @@ def run_wavefront(
             pltpu.VMEM((SUBLANES, K), jnp.int32),      # error flags
             pltpu.VMEM((SUBLANES, K), jnp.int32),      # window word 0
             pltpu.VMEM((SUBLANES, K), jnp.int32),      # window word 1
+            pltpu.VMEM((64, SUBLANES, K), jnp.int32),  # AC accumulator
+            pltpu.VMEM((SUBLANES, K), jnp.int32),      # AC k index
         ],
         interpret=interpret,
     )(lane_m, bits, seg_bits, lane_qset, bit0)

@@ -308,7 +308,7 @@ def _make_ac_first_kernel(static):
     (ac_tbl,), W, ss, se, al = static
 
     def kernel(lane_m_ref, bits_ref, out_ref, err_ref, cur_ref, end_ref,
-               eob_ref, err_acc_ref, w0_ref, w1_ref):
+               eob_ref, err_acc_ref, w0_ref, w1_ref, acc_ref, k_ref):
         m = pl.program_id(1)
         bits = bits_ref[0]
         lane_m = lane_m_ref[0]
@@ -333,16 +333,26 @@ def _make_ac_first_kernel(static):
         eob = jnp.where(skip, eob - 1, eob)
         busy0 = ok & ~skip
 
-        acc = jnp.zeros((64, SUBLANES, K), jnp.int32)
-        k0 = jnp.where(busy0, ss, 65)
+        # Loop state lives in scratch refs, updated in place: Mosaic
+        # copies while_loop carries every trip, and the [64,8,K]
+        # accumulator carry alone was ~20% of the baseline kernel's
+        # time before the same fix landed there (wavefront_pallas).
+        acc_ref[:] = jnp.zeros((64, SUBLANES, K), jnp.int32)
+        k_ref[:] = jnp.where(busy0, ss, 65)
+        eob_ref[:] = eob
+        err_acc_ref[:] = err
 
-        def cond(st):
-            _cur, _w0, _w1, _k, _err, _eob, _acc, step = st
-            busy = busy0 & (_k <= se) & (_err == 0)
+        def cond(step):
+            busy = busy0 & (k_ref[:] <= se) & (err_acc_ref[:] == 0)
             return jnp.any(busy) & (step < 80)
 
-        def body(st):
-            _cur, _w0, _w1, _k, _err, _eob, _acc, step = st
+        def body(step):
+            _cur = cur_ref[:]
+            _k = k_ref[:]
+            _err = err_acc_ref[:]
+            _eob = eob_ref[:]
+            _w0 = w0_ref[:]
+            _w1 = w1_ref[:]
             busy = busy0 & (_k <= se) & (_err == 0)
             win = _win_from_regs(_w0, _w1, _cur)
             rs, alen = _decode_symbol_win(win, ac_tbl)
@@ -355,40 +365,37 @@ def _make_ac_first_kernel(static):
             nk = _k + jnp.where(s > 0, r, 0)
             over = busy & (s > 0) & (nk > se)
             emit = busy & (s > 0) & (nk <= se)
-            _acc = _acc + jnp.where(
-                (kiota == nk[None]) & emit[None], (val << al)[None], 0
+            vmask = jnp.where(emit, val << al, 0)
+            acc_ref[:] = acc_ref[:] + jnp.where(
+                kiota == nk[None], vmask[None], 0
             )
             extra = _receive_raw(win, alen, jnp.where(is_eob, r, 0))
             new_eob = jnp.left_shift(1, r) - 1 + extra
-            _eob = jnp.where(busy & is_eob, new_eob, _eob)
+            eob_ref[:] = jnp.where(busy & is_eob, new_eob, _eob)
             consumed = alen + jnp.where(
                 s > 0, s, jnp.where(is_eob, r, 0)
             )
             nc = _cur + jnp.where(busy, consumed, 0)
             _w0, _w1 = _advance_regs(bits, _w0, _w1, _cur, nc, W)
-            _cur = nc
-            _k = jnp.where(
+            w0_ref[:] = _w0
+            w1_ref[:] = _w1
+            cur_ref[:] = nc
+            k_ref[:] = jnp.where(
                 busy,
                 jnp.where(is_eob, 65, jnp.where(is_zrl, _k + 16, nk + 1)),
                 _k,
             )
             _err = jnp.where(badc, _ERR_BADCODE, _err)
-            _err = jnp.where(over, _ERR_RUN, _err)
-            return (_cur, _w0, _w1, _k, _err, _eob, _acc, step + 1)
+            err_acc_ref[:] = jnp.where(over, _ERR_RUN, _err)
+            return step + 1
 
-        cur, w0, w1, _k, err, eob, acc, _ = jax.lax.while_loop(
-            cond, body,
-            (cur, w0_ref[:], w1_ref[:], k0, err, eob, acc, jnp.int32(0)),
-        )
-
-        out_ref[0, 0] = acc
         cur_ref[:] = cur
-        w0_ref[:] = w0
-        w1_ref[:] = w1
-        eob_ref[:] = eob
-        err_acc_ref[:] = err
+        jax.lax.while_loop(cond, body, jnp.int32(0))
 
-        trunc = (cur > end_ref[0] + 7) & (lane_m > 0)
+        out_ref[0, 0] = acc_ref[:]
+        err = err_acc_ref[:]
+
+        trunc = (cur_ref[:] > end_ref[0] + 7) & (lane_m > 0)
         err_ref[0] = err | jnp.where(trunc, _ERR_TRUNC, 0)
 
     return kernel
@@ -401,9 +408,10 @@ def _run_ac_first(bits, lane_m, seg_bits, static, n_groups, n_mcus,
     bits = jnp.transpose(bits, (0, 3, 1, 2))
 
     def kernel(lane_m_ref, bits_ref, end_ref, out_ref, err_ref,
-               cur_ref, eob_ref, err_acc_ref, w0_ref, w1_ref):
+               cur_ref, eob_ref, err_acc_ref, w0_ref, w1_ref, acc_ref,
+               k_ref):
         kern(lane_m_ref, bits_ref, out_ref, err_ref, cur_ref, end_ref,
-             eob_ref, err_acc_ref, w0_ref, w1_ref)
+             eob_ref, err_acc_ref, w0_ref, w1_ref, acc_ref, k_ref)
 
     out, err = pl.pallas_call(
         kernel,
@@ -435,6 +443,8 @@ def _run_ac_first(bits, lane_m, seg_bits, static, n_groups, n_mcus,
             pltpu.VMEM((SUBLANES, K), jnp.int32),  # error flags
             pltpu.VMEM((SUBLANES, K), jnp.int32),  # window word 0
             pltpu.VMEM((SUBLANES, K), jnp.int32),  # window word 1
+            pltpu.VMEM((64, SUBLANES, K), jnp.int32),  # accumulator
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # k index
         ],
         interpret=interpret,
     )(lane_m, bits, seg_bits)
@@ -495,6 +505,12 @@ def _make_ac_refine_kernel(static):
             _PH_DONE,
         )
 
+        # The updated coefficient band lives in the OUTPUT block ref
+        # (not the while carry): Mosaic copies carries every trip, and
+        # this one is 512 KB — the same fix as the baseline kernel's
+        # accumulator (wavefront_pallas).
+        out_ref[0, 0] = prior
+
         st0 = (
             cur,
             w0_ref[:],
@@ -506,15 +522,14 @@ def _make_ac_refine_kernel(static):
             eob,
             phase0,
             err,
-            prior,                                     # updated coeffs
             jnp.int32(0),
         )
 
         def cond(st):
-            return jnp.any(st[8] != _PH_DONE) & (st[11] < 224)
+            return jnp.any(st[8] != _PH_DONE) & (st[10] < 224)
 
         def body(st):
-            (cur, rw0, rw1, k, r, s, val, eob, ph, err, upd, step) = st
+            (cur, rw0, rw1, k, r, s, val, eob, ph, err, step) = st
             cur0 = cur
             # ONE register window serves all three phases: a lane is in
             # exactly one phase, and only its own branch advances cur,
@@ -559,7 +574,7 @@ def _make_ac_refine_kernel(static):
             adv = (ph == _PH_ADVANCE) & ~dec  # freshly-decoded lanes wait
             in_band = k <= se
             cv = jnp.sum(
-                jnp.where(kiota == k[None], upd, 0), axis=0
+                jnp.where(kiota == k[None], out_ref[0, 0], 0), axis=0
             )  # [8, K] current value at k (0 when k > 63)
             nz = cv != 0
             # s-insert lanes past the band: data error.
@@ -570,7 +585,7 @@ def _make_ac_refine_kernel(static):
             corr = act & nz
             do_fix = corr & (top_bit > 0) & ((cv & p1) == 0)
             delta = jnp.where(cv >= 0, p1, m1)
-            upd = upd + jnp.where(
+            out_ref[0, 0] = out_ref[0, 0] + jnp.where(
                 (kiota == k[None]) & do_fix[None], delta[None], 0
             )
             cur = cur + jnp.where(corr, 1, 0)
@@ -578,7 +593,7 @@ def _make_ac_refine_kernel(static):
             # Zero coefficient: part of the run, or the insert position.
             zero = act & ~nz
             place = zero & (r == 0) & (s > 0)
-            upd = upd + jnp.where(
+            out_ref[0, 0] = out_ref[0, 0] + jnp.where(
                 (kiota == k[None]) & place[None], val[None], 0
             )
             run_end0 = zero & (r == 0) & (s == 0)  # ZRL's 16th zero
@@ -601,7 +616,7 @@ def _make_ac_refine_kernel(static):
             tail = (ph == _PH_TAIL) & ~dec
             t_in = k <= se
             cv_t = jnp.sum(
-                jnp.where(kiota == k[None], upd, 0), axis=0
+                jnp.where(kiota == k[None], out_ref[0, 0], 0), axis=0
             )
             nz_t = cv_t != 0
             t_corr = tail & t_in & nz_t
@@ -610,7 +625,7 @@ def _make_ac_refine_kernel(static):
             bit_t = top_bit
             do_fix_t = t_corr & (bit_t > 0) & ((cv_t & p1) == 0)
             delta_t = jnp.where(cv_t >= 0, p1, m1)
-            upd = upd + jnp.where(
+            out_ref[0, 0] = out_ref[0, 0] + jnp.where(
                 (kiota == k[None]) & do_fix_t[None], delta_t[None], 0
             )
             cur = cur + jnp.where(t_corr, 1, 0)
@@ -626,14 +641,12 @@ def _make_ac_refine_kernel(static):
             # — all under 32 bits, the register-slide invariant.
             rw0, rw1 = _advance_regs(bits, rw0, rw1, cur0, cur, W)
 
-            return (cur, rw0, rw1, k, r, s, val, eob, ph, err, upd,
-                    step + 1)
+            return (cur, rw0, rw1, k, r, s, val, eob, ph, err, step + 1)
 
-        (cur, w0, w1, _k, _r, _s, _v, eob, _ph, err, upd, _steps) = (
+        (cur, w0, w1, _k, _r, _s, _v, eob, _ph, err, _steps) = (
             jax.lax.while_loop(cond, body, st0)
         )
 
-        out_ref[0, 0] = upd
         w0_ref[:] = w0
         w1_ref[:] = w1
         cur_ref[:] = cur

@@ -46,11 +46,13 @@ def main() -> int:
 
     size = int(os.environ.get("BENCH_SIZE", "2048"))
     quality = int(os.environ.get("BENCH_QUALITY", "85"))
-    nimg = int(os.environ.get("BENCH_BATCH", "64"))
+    nimg = int(os.environ.get("BENCH_BATCH", "128"))
     nchunks = int(os.environ.get("BENCH_CHUNKS", "3"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     rst = int(os.environ.get("BENCH_RESTART_BLOCKS", "4"))
-    prep_workers = int(os.environ.get("BENCH_PREP_WORKERS", "3"))
+    # All 4 host cores prep: the main thread spends its time blocked on
+    # device completions (GIL released), so prep workers = cpu count.
+    prep_workers = int(os.environ.get("BENCH_PREP_WORKERS", "4"))
 
     # Restart markers every few MCUs: the segment-parallel substrate
     # (BASELINE.json:8 "restart-interval segmented decode"; SURVEY.md
@@ -112,7 +114,13 @@ def main() -> int:
     for ch in chunks_dev:
         plan, jpegs = prep(ch)
         assert plan.qsets
-        fn = wp._rgb_chain(plan, jpegs, cfg, interpret)
+        # packed=True: the chain ends AT the fused upsample/color kernel,
+        # whose column-packed planar uint16 output's little-endian bytes
+        # ARE the planar u8 raster (pipeline.packed_layout_applies) — a
+        # consumer bitcasts for free, so the u16->u8 retiling pass XLA
+        # would otherwise materialize is skipped. Bit-exactness below is
+        # checked through exactly that bitcast.
+        fn = wp._rgb_chain(plan, jpegs, cfg, interpret, packed=True)
         bits = jax.device_put(jnp.asarray(plan.bits))
         lane_m = jax.device_put(jnp.asarray(plan.lane_m))
         seg_bits = jax.device_put(jnp.asarray(plan.seg_bits))
@@ -163,13 +171,16 @@ def main() -> int:
     _ = np.asarray(err).reshape(-1)[:1]
     chip_mp_s = total_mp / (time.perf_counter() - t0)
 
-    # --- Correctness: bit-exact vs PIL on one image (full path). ---
+    # --- Correctness: bit-exact vs PIL on one image (full path). The
+    # packed uint16 planar output bitcasts to the u8 raster on host. ---
     fn, bits, lane_m, seg_bits, lane_q, plan = staged[0]
     rgb, err = fn(bits, lane_m, seg_bits, lane_q)
-    one = np.asarray(rgb[0])
+    one = np.ascontiguousarray(np.asarray(rgb[0]))  # u16 [3, H, W/2]
+    one = one.view(np.uint8).reshape(3, size, size)  # planar u8
     exact = bool(
         np.array_equal(
-            one, np.asarray(Image.open(io.BytesIO(chunks_dev[0][0])))
+            np.moveaxis(one, 0, 2),
+            np.asarray(Image.open(io.BytesIO(chunks_dev[0][0]))),
         )
     )
 
@@ -207,7 +218,10 @@ def main() -> int:
                         " threaded host prep of fresh bytes); bitstreams"
                         " pre-staged in HBM (localhost relay upload is a"
                         " harness artifact, see docstring); RGB stays in"
-                        " HBM"
+                        " HBM as planar column-packed uint16 whose bytes"
+                        " are the u8 raster (decode_stream"
+                        " layout='packed16'; bit-exactness verified"
+                        " through that bitcast)"
                     ),
                 },
             }

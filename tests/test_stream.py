@@ -85,3 +85,33 @@ def test_stream_uneven_tail_chunk():
     assert not res.errors
     for d, img in zip(datas, res.images):
         assert np.array_equal(np.asarray(img), _pil(d))
+
+
+def test_stream_packed16_layout_bytes_are_raster():
+    # layout="packed16": planar uint16 whose little-endian bytes are the
+    # planar u8 raster (the chain ends at the color kernel). Both 4:2:0
+    # and 4:2:2 take the packed path; bitcast and compare vs PIL.
+    datas = [
+        make_jpeg(128, 96, seed=s, subsampling=2, restart_blocks=4)
+        for s in range(2)
+    ] + [
+        make_jpeg(128, 96, seed=9, subsampling=1, restart_blocks=4)
+    ]
+    for d in datas:
+        chunks = list(
+            tpujpeg.decode_stream([d], chunk_size=1, layout="packed16")
+        )
+        ch = chunks[0]
+        assert ch.layout == "packed16"
+        got = np.ascontiguousarray(np.asarray(ch.images[0]))
+        assert got.dtype == np.uint16 and got.shape == (3, 96, 64)
+        planar = got.view(np.uint8).reshape(3, 96, 128)
+        assert np.array_equal(np.moveaxis(planar, 0, 2), _pil(d))
+
+
+def test_stream_packed16_falls_back_to_nhwc_when_inapplicable():
+    # 4:4:4 has no packed path: the chunk must come back nhwc uint8.
+    d = make_jpeg(64, 64, seed=3, subsampling=0, restart_blocks=4)
+    ch = next(iter(tpujpeg.decode_stream([d], layout="packed16")))
+    assert ch.layout == "nhwc"
+    assert np.array_equal(np.asarray(ch.images[0]), _pil(d))

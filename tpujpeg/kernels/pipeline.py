@@ -62,9 +62,33 @@ def _make_frame(key: Tuple) -> bitstream.Frame:
     return frame
 
 
+def packed_layout_applies(frame, config: DecodeConfig, color: str) -> bool:
+    """True iff _color_stage would honor packed=True for this frame:
+    the fused h2v2/h2v1 upsample+color path with an even frame width.
+    Callers use this STATIC predicate to know the output form."""
+    if color != "ycbcr" or frame.n_components != 3:
+        return False
+    if not config.fancy_upsampling or frame.width % 2:
+        return False
+    expansions = [
+        (frame.hmax // c.h, frame.vmax // c.v) for c in frame.components
+    ]
+    return expansions in (
+        [(1, 1), (2, 2), (2, 2)], [(1, 1), (2, 1), (2, 1)]
+    )
+
+
 def _color_stage(frame, expansions, planes, fancy: bool, interpret: bool,
-                 color: str):
-    """Shared tail: cropped sample planes -> RGB/gray/CMYK raster."""
+                 color: str, packed: bool = False):
+    """Shared tail: cropped sample planes -> RGB/gray/CMYK raster.
+
+    packed: return the color kernels' column-packed planar uint16
+    [N, 3, H, W//2] instead of NHWC uint8 — the uint16 array's
+    little-endian bytes ARE the planar u8 raster, so consumers bitcast
+    for free and the chain ends AT the color kernel (no u16->u8 retile,
+    no NHWC layout). Only taken for even frame widths on the fused
+    h2v2/h2v1 paths; anything else falls back to NHWC uint8."""
+    want_packed = packed and frame.width % 2 == 0
     if color == "gray":
         return planes[0][:, : frame.height, : frame.width]
 
@@ -78,7 +102,10 @@ def _color_stage(frame, expansions, planes, fancy: bool, interpret: bool,
                 _edge_pad(cb, hc, wc),
                 _edge_pad(cr, hc, wc),
                 interpret=interpret,
+                packed_words=want_packed,
             )
+            if want_packed:
+                return rgb[:, :, : frame.height, : frame.width // 2]
         elif expansions == [(1, 1), (2, 1), (2, 1)]:
             h = _round_up(cb.shape[1], sc_k.ROW_TILE)
             wc = _round_up(cb.shape[2], 128)
@@ -87,7 +114,10 @@ def _color_stage(frame, expansions, planes, fancy: bool, interpret: bool,
                 _edge_pad(cb, h, wc),
                 _edge_pad(cr, h, wc),
                 interpret=interpret,
+                packed_words=want_packed,
             )
+            if want_packed:
+                return rgb[:, :, : frame.height, : frame.width // 2]
         elif expansions == [(1, 1), (1, 1), (1, 1)]:
             h = _round_up(y.shape[1], sc_k.ROW_TILE)
             w = _round_up(y.shape[2], 128)
@@ -155,7 +185,8 @@ def _build_batch(key: Tuple, idct_variant: str, fancy: bool, interpret: bool,
 
 
 @functools.lru_cache(maxsize=128)
-def _build_planes_batch(key: Tuple, fancy: bool, interpret: bool, color: str):
+def _build_planes_batch(key: Tuple, fancy: bool, interpret: bool, color: str,
+                        packed: bool = False):
     """Jitted color/upsample stage for pre-IDCT'd sample planes
     ([N, padded_h, padded_w] uint8 per component — the fused wavefront
     kernel's output layout)."""
@@ -169,14 +200,18 @@ def _build_planes_batch(key: Tuple, fancy: bool, interpret: bool, color: str):
             p[:, : c.dheight, : c.dwidth]
             for p, c in zip(planes_in, frame.components)
         ]
-        return _color_stage(frame, expansions, planes, fancy, interpret, color)
+        return _color_stage(
+            frame, expansions, planes, fancy, interpret, color,
+            packed=packed,
+        )
 
     return jax.jit(fn)
 
 
 def transform_planes_batch(frame, planes, config: DecodeConfig,
-                           color: str = None):
-    """planes[ci]: uint8[N, padded_h, padded_w] sample planes."""
+                           color: str = None, packed: bool = False):
+    """planes[ci]: uint8[N, padded_h, padded_w] sample planes.
+    packed: see _color_stage — planar column-packed uint16 output."""
     key = (
         frame.height,
         frame.width,
@@ -185,7 +220,9 @@ def transform_planes_batch(frame, planes, config: DecodeConfig,
     if color is None:
         color = T.default_color(frame.n_components)
     interpret = jax.default_backend() != "tpu"
-    fn = _build_planes_batch(key, config.fancy_upsampling, interpret, color)
+    fn = _build_planes_batch(
+        key, config.fancy_upsampling, interpret, color, packed
+    )
     return fn([jnp.asarray(p) for p in planes])
 
 

@@ -188,10 +188,17 @@ def _unpack_cols(packed: jnp.ndarray) -> jnp.ndarray:
     return u8.reshape(*packed.shape[:-1], packed.shape[-1] * 2)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def upsample_color_h2v2_batch(y, cb, cr, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "packed_words")
+)
+def upsample_color_h2v2_batch(y, cb, cr, interpret: bool = False,
+                              packed_words: bool = False):
     """y: uint8[N, 2Hc, 2Wc]; cb, cr: uint8[N, Hc, Wc]. Hc a multiple of
-    ROW_TILE, Wc of 128 (caller edge-pads). Returns uint8[N, 3, 2Hc, 2Wc]."""
+    ROW_TILE, Wc of 128 (caller edge-pads). Returns uint8[N, 3, 2Hc, 2Wc],
+    or with packed_words the kernel's column-packed uint16
+    [N, 3, 2Hc, Wc] whose little-endian BYTES are exactly the planar u8
+    raster — consumers bitcast for free, and the chain skips the u16->u8
+    retiling copy XLA otherwise materializes."""
     n, hc, wc = cb.shape
     assert hc % ROW_TILE == 0 and y.shape == (n, 2 * hc, 2 * wc), (y.shape, cb.shape)
     t2 = _pick_tile(wc)
@@ -232,12 +239,18 @@ def upsample_color_h2v2_batch(y, cb, cr, interpret: bool = False):
     # (kernel layout), so this is a pure reshape; the column unpack is
     # a bitcast+merge. The old path paid a 1.6 GB transposed copy here.
     rows = out.reshape(n, 3, 2 * hc, wc)
+    if packed_words:
+        return rows
     return _unpack_cols(rows)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def upsample_color_h2v1_batch(y, cb, cr, interpret: bool = False):
-    """y: uint8[N, H, 2Wc]; cb, cr: uint8[N, H, Wc], H mult of ROW_TILE."""
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "packed_words")
+)
+def upsample_color_h2v1_batch(y, cb, cr, interpret: bool = False,
+                              packed_words: bool = False):
+    """y: uint8[N, H, 2Wc]; cb, cr: uint8[N, H, Wc], H mult of ROW_TILE.
+    packed_words: as upsample_color_h2v2_batch."""
     n, h, wc = cb.shape
     assert h % ROW_TILE == 0 and y.shape == (n, h, 2 * wc)
     t = _pick_tile(wc)
@@ -260,6 +273,8 @@ def upsample_color_h2v1_batch(y, cb, cr, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((n, 3, h, wc), jnp.uint16),
         interpret=interpret,
     )(y2, cb, cr)
+    if packed_words:
+        return out
     return _unpack_cols(out)  # no row phases: unpack alone finishes
 
 

@@ -1289,7 +1289,11 @@ _CHAIN_CACHE: "collections.OrderedDict[Tuple, object]" = collections.OrderedDict
 _CHAIN_CACHE_MAX = 64
 
 
-def _rgb_chain(plan: BlockPlan, jpegs, config, interpret: bool):
+def _rgb_chain(plan: BlockPlan, jpegs, config, interpret: bool,
+               packed: bool = False):
+    """packed: emit the color kernels' column-packed planar uint16
+    (bytes = the u8 raster; see pipeline.packed_layout_applies) —
+    callers must have checked the predicate themselves."""
     from . import pipeline as kernel_pipeline
 
     geoms = tuple(ImageGeom.of(j) for j in jpegs)
@@ -1297,6 +1301,9 @@ def _rgb_chain(plan: BlockPlan, jpegs, config, interpret: bool):
     color = bitstream.color_space(jpegs[0])
     shape = (plan.blocks_per_mcu, plan.n_mcus, plan.n_groups)
     n_images = len(jpegs)
+    packed = packed and kernel_pipeline.packed_layout_applies(
+        frame, config, color
+    )
     plan_static = (
         plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus,
         "pixels", plan.qsets, plan.comp_hv,
@@ -1310,7 +1317,7 @@ def _rgb_chain(plan: BlockPlan, jpegs, config, interpret: bool):
             for g in geoms
         ),
         plan.img_qset,
-        config.fancy_upsampling, interpret, color,
+        config.fancy_upsampling, interpret, color, packed,
     )
     fn = _CHAIN_CACHE.get(key)
     if fn is None:
@@ -1331,7 +1338,7 @@ def _rgb_chain(plan: BlockPlan, jpegs, config, interpret: bool):
                 # at 16K. The barrier keeps assembly temps u8.
                 stacked = list(jax.lax.optimization_barrier(tuple(stacked)))
             rgb = kernel_pipeline.transform_planes_batch(
-                frame, stacked, config, color=color
+                frame, stacked, config, color=color, packed=packed
             )
             return rgb, err
 

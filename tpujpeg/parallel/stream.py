@@ -57,12 +57,15 @@ class StreamChunk:
     """One decoded chunk, yielded in submission order. `images[k]` is the
     decoded array for original index `members[k]` (a lazy slice of the
     chunk's device-resident batch on the fused path), or None when
-    `failures` has that index."""
+    `failures` has that index. `layout` is "nhwc" (uint8 [H, W, 3]) or
+    "packed16" (planar uint16 [3, H, W//2] whose little-endian bytes
+    are the planar u8 raster — bitcast on the consumer side is free)."""
 
     members: List[int]
     images: List[Optional[object]]
     failures: Dict[int, Exception]
     engine: str
+    layout: str = "nhwc"
 
 
 def _prep(datas: Sequence[bytes], members: List[int]) -> _Unit:
@@ -100,31 +103,43 @@ def _prep(datas: Sequence[bytes], members: List[int]) -> _Unit:
 
 
 class _InFlight:
-    __slots__ = ("unit", "rgb", "err")
+    __slots__ = ("unit", "rgb", "err", "layout")
 
-    def __init__(self, unit, rgb=None, err=None):
+    def __init__(self, unit, rgb=None, err=None, layout="nhwc"):
         self.unit = unit
         self.rgb = rgb
         self.err = err
+        self.layout = layout
 
 
-def _submit(unit: _Unit, config: DecodeConfig) -> _InFlight:
+def _submit(unit: _Unit, config: DecodeConfig,
+            packed: bool = False) -> _InFlight:
     """Main-thread stage: upload + async dispatch of the fused chain."""
     import jax
 
+    from ..kernels import pipeline as kernel_pipeline
     from ..kernels import wavefront_pallas as wp
 
     if unit.plan is None:
         return _InFlight(unit)  # fallback decodes at sync time
     interpret = jax.default_backend() != "tpu"
-    fn = wp._rgb_chain(unit.plan, unit.jpegs, config, interpret)
+    layout = "nhwc"
+    if packed:
+        frame = unit.jpegs[0].frame
+        color = bitstream.color_space(unit.jpegs[0])
+        if kernel_pipeline.packed_layout_applies(frame, config, color):
+            layout = "packed16"
+    fn = wp._rgb_chain(
+        unit.plan, unit.jpegs, config, interpret,
+        packed=layout == "packed16",
+    )
     rgb, err = fn(
         jnp.asarray(unit.plan.bits),
         jnp.asarray(unit.plan.lane_m),
         jnp.asarray(unit.plan.seg_bits),
         jnp.asarray(unit.plan.lane_qset),
     )
-    return _InFlight(unit, rgb, err)
+    return _InFlight(unit, rgb, err, layout)
 
 
 def _sync(flight: _InFlight, config: DecodeConfig) -> StreamChunk:
@@ -160,7 +175,9 @@ def _sync(flight: _InFlight, config: DecodeConfig) -> StreamChunk:
             images.append(flight.rgb[k])
     members = list(unit.members) + list(unit.failures)
     images += [None] * len(unit.failures)
-    return StreamChunk(members, images, failures, "wavefront-fused")
+    return StreamChunk(
+        members, images, failures, "wavefront-fused", flight.layout
+    )
 
 
 def decode_stream(
@@ -169,6 +186,7 @@ def decode_stream(
     chunk_size: int = 64,
     depth: int = 2,
     prep_workers: int = 3,
+    layout: str = "nhwc",
 ) -> Iterator[StreamChunk]:
     """Decode a long sequence of JPEGs as a pipelined stream of chunks.
 
@@ -178,7 +196,12 @@ def decode_stream(
     real double-buffered infeed the PP row of SURVEY.md §2.3 names.
     Images are device-resident unless config.to_numpy (conversion forces
     an immediate readback, serializing the pipeline — leave outputs on
-    device when throughput matters)."""
+    device when throughput matters).
+
+    layout="packed16" requests the color kernels' column-packed planar
+    uint16 form (chunk.layout says whether it applied): the chain then
+    ENDS at the fused upsample/color kernel — no u16->u8 retiling pass —
+    and consumers bitcast for free (the uint16 bytes are the raster)."""
     n = len(datas)
     starts = list(range(0, n, chunk_size))
     with ThreadPoolExecutor(max_workers=prep_workers) as ex:
@@ -202,7 +225,9 @@ def decode_stream(
             while prep_q and len(inflight) < depth:
                 unit = prep_q.popleft().result()
                 refill()
-                inflight.append(_submit(unit, config))
+                inflight.append(
+                    _submit(unit, config, packed=layout == "packed16")
+                )
             chunk = _sync(inflight.popleft(), config)
             if config.to_numpy:
                 chunk.images = [

@@ -76,7 +76,11 @@ def run_batch_job(
         chunk = pending[lo : lo + chunk_size]
         datas = [c[2] for c in chunk]
         if on_device:
-            res = tpujpeg.decode_batch_on_device(datas, config)
+            # Pipelined: host prep of the next sub-chunks overlaps the
+            # device decode (same BatchResult contract).
+            res = tpujpeg.decode_batch_pipelined(
+                datas, config, chunk_size=min(chunk_size, 64)
+            )
         else:
             res = tpujpeg.decode_batch(datas, config)
         for slot, (path, dg, _) in enumerate(chunk):

@@ -53,10 +53,7 @@ def main() -> int:
     geoms = tuple(wp.ImageGeom.of(j) for j in jpegs)
     frame = geoms[0].frame
     shape = (plan.blocks_per_mcu, plan.n_mcus, plan.n_groups)
-    plan_static = (
-        plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus,
-        "pixels", plan.qsets, plan.comp_hv,
-    )
+    plan_static = plan.static_key("pixels")
 
     bits = jax.device_put(jnp.asarray(plan.bits))
     lane_m = jax.device_put(jnp.asarray(plan.lane_m))

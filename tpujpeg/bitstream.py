@@ -165,7 +165,7 @@ class Scan:
     ah: int
     al: int
     restart_interval: int  # DRI value in force for this scan
-    data: bytes
+    data: bytes  # bytes-like; parse() stores a zero-copy memoryview
     rst_offsets: List[int]
     # Table state snapshots at scan start (tables may be redefined
     # between scans in progressive files):
@@ -446,7 +446,12 @@ def parse(data: bytes) -> JpegData:
                 ah=ah,
                 al=al,
                 restart_interval=restart_interval,
-                data=data[cur.pos : end],
+                # Zero-copy view: the scan payload is the bulk of the
+                # file and copying it dominated parse time (~37 ms /
+                # 86 MB on this host). Native consumers take a pointer
+                # into the original buffer (_scan_buf); python fallbacks
+                # materialize bytes only where a bytes method needs it.
+                data=memoryview(data)[cur.pos : end],
                 rst_offsets=rsts,
                 huff=dict(htables),
             )
@@ -498,4 +503,7 @@ def split_restart_segments(scan: Scan) -> List[bytes]:
         pieces.append(scan.data[start:off])
         start = off + 2
     pieces.append(scan.data[start:])
-    return [p.replace(b"\xff\x00", b"\xff") for p in pieces]
+    # bytes() materializes memoryview pieces (Scan.data is a zero-copy
+    # view); this is the python fallback path, the native destuff never
+    # comes through here.
+    return [bytes(p).replace(b"\xff\x00", b"\xff") for p in pieces]

@@ -53,10 +53,39 @@ from ..errors import (
 )
 from . import wavefront as wf_xla
 
-LANE_GROUP = 2048          # lanes per kernel grid group
+LANE_GROUP = 2048          # default lanes per kernel grid group
+MAX_GROUP = 8192           # widest group the VMEM budget allows
 SUBLANES = 8
 MAX_WORDS = 512            # per-lane bitstream words cap (VMEM)
 MAX_QSETS = 8              # distinct quantizer sets one fused launch takes
+
+
+def _pick_group(W: int, n_lanes: int, out_words: int) -> int:
+    """Lanes per lockstep group. The per-symbol hot loop is LATENCY-bound
+    on its dependency chain (measured: halving the scatter's vector-op
+    count moved nothing, while 4x wider groups ran ~16% faster), so wider
+    groups are free throughput up to the 16 MB scoped-VMEM wall. Budget
+    model, validated against the compiler's own OOM report (13.55 MB for
+    the 4:2:0 pixels kernel at 8192 lanes, W=96): the bitstream input
+    block and the output blocks are double-buffered by Mosaic; scratch
+    (32-row packed accumulator + ~8 rows of loop state) is not.
+    out_words = output words per lane per MCU (pixels: sum of v*8*h*2
+    per scan component; coeff: blocks_per_mcu * 64).
+
+    The budget is 10 MB, not the 16 MB hardware limit: inside a fused
+    chain XLA overlaps the pallas call with neighboring fusions that
+    share the scoped-vmem pool (measured: the same kernel that fit in
+    13.55 MB standalone was charged 19.76 MB inside bench's rgb chain
+    and OOM'd), so the kernel must leave headroom for co-scheduled
+    copies."""
+    per_lane = 4 * (2 * W + 2 * max(out_words, 1) + 40)
+    g = MAX_GROUP
+    while g > LANE_GROUP and g * per_lane > (10 << 20):
+        g //= 2
+    # Don't pad a small batch past the next power of two.
+    while g > LANE_GROUP and g >= 2 * max(n_lanes, 1):
+        g //= 2
+    return g
 
 _ERR_BADCODE = 1
 _ERR_RUN = 2
@@ -194,6 +223,22 @@ class BlockPlan:
     # SEGMENTED exclusive cumsum over these groups.
     lane_seg: Optional[np.ndarray] = None  # int64[L]
     seg_first: Optional[np.ndarray] = None  # int64[n_marker_segments]
+    # Lanes per lockstep group this plan's arrays are shaped for
+    # (_pick_group); kernels and assembly read it from here.
+    lane_group: int = LANE_GROUP
+
+    def static_key(self, emit: str) -> Tuple:
+        """The static config tuple run_wavefront/_make_kernel key on."""
+        if emit == "coeff":
+            return (
+                self.blocks_per_mcu, self.blk_tables, self.n_words,
+                self.n_mcus, "coeff", None, (), self.lane_group,
+            )
+        return (
+            self.blocks_per_mcu, self.blk_tables, self.n_words,
+            self.n_mcus, "pixels", self.qsets, self.comp_hv,
+            self.lane_group,
+        )
 
 
 def _comp_hv_of(frame, scan) -> Tuple[Tuple[int, int, int], ...]:
@@ -209,6 +254,7 @@ def _comp_hv_of(frame, scan) -> Tuple[Tuple[int, int, int], ...]:
 def build_block_plan(
     jpegs: Sequence[bitstream.JpegData],
     min_words: int = 0,
+    emit_hint: str = "pixels",
 ) -> BlockPlan:
     """Uniform-batch plan for the Pallas kernel. Raises
     JpegUnsupportedError when the batch doesn't fit the kernel's scope
@@ -346,15 +392,21 @@ def build_block_plan(
 
     lane_meta = np.concatenate(lane_meta, axis=0)
     L = len(lane_meta)
-    G = -(-L // LANE_GROUP)
-    K = LANE_GROUP // SUBLANES
     W = max_words
+    comp_hv = _comp_hv_of(jpegs[0].frame, jpegs[0].scans[0])
+    if emit_hint == "coeff":
+        out_words = len(blk_tables) * 64
+    else:
+        out_words = sum(v * 8 * h * 2 for _ci, h, v in comp_hv)
+    lane_group = _pick_group(W, L, out_words)
+    G = -(-L // lane_group)
+    K = lane_group // SUBLANES
 
     # Destuff every segment straight into fixed-width byte-swapped word
     # rows — one threaded native pass per image (tj_destuff_rows); the
     # pure-python fallback packs rows with a masked scatter.
-    bits_flat = np.empty((G * LANE_GROUP, W), dtype=np.int32)
-    seg_bits = np.zeros(G * LANE_GROUP, dtype=np.int32)
+    bits_flat = np.empty((G * lane_group, W), dtype=np.int32)
+    seg_bits = np.zeros(G * lane_group, dtype=np.int32)
     lane0 = 0
     try:
         from ..native import entropy as native_entropy
@@ -388,15 +440,15 @@ def build_block_plan(
             seg_bits[lane0 : lane0 + n_seg] = (lens * 8).astype(np.int32)
             lane0 += n_seg
     # Pad lanes: all-ones bitstream, zero MCUs (never decoded).
-    if lane0 < G * LANE_GROUP:
+    if lane0 < G * lane_group:
         bits_flat[lane0:] = -1
     bits = bits_flat.reshape(G, SUBLANES, K, W)
     sb = seg_bits
-    lm = np.zeros(G * LANE_GROUP, np.int32)
+    lm = np.zeros(G * lane_group, np.int32)
     lm[:L] = lane_meta[:, 2]
 
     qsets = tuple(qset_values)  # insertion-ordered: index s -> qset s
-    lq = np.zeros(G * LANE_GROUP, np.int32)
+    lq = np.zeros(G * lane_group, np.int32)
     lq[:L] = np.asarray(img_qset, np.int32)[lane_meta[:, 0]]
 
     return BlockPlan(
@@ -408,7 +460,7 @@ def build_block_plan(
         n_words=W,
         blocks_per_mcu=len(blk_tables),
         blk_tables=blk_tables,
-        comp_hv=_comp_hv_of(jpegs[0].frame, jpegs[0].scans[0]),
+        comp_hv=comp_hv,
         frame_key=key0,
         lane_meta=lane_meta,
         n_lanes=L,
@@ -417,6 +469,7 @@ def build_block_plan(
         qsets=qsets if len(qsets) <= MAX_QSETS else (),
         img_qset=tuple(img_qset),
         lane_qset=lq.reshape(G, SUBLANES, K),
+        lane_group=lane_group,
     )
 
 
@@ -553,8 +606,9 @@ def _make_kernel(plan_static):
     one-hot over its lane_qset index, so mixed-quantizer batches still
     share one fused launch (a single set degenerates to bare
     constants)."""
-    B, blk_tables, W, n_mcus, emit, qsets, comp_hv = plan_static
-    K = LANE_GROUP // SUBLANES
+    (B, blk_tables, W, n_mcus, emit, qsets, comp_hv,
+     lane_group) = plan_static
+    K = lane_group // SUBLANES
 
     receive_extend = _receive_extend
 
@@ -595,11 +649,19 @@ def _make_kernel(plan_static):
             w1_ref[:] = _load_word(bits, (c0 >> 5) + 1, W)
 
         active = m < lane_m          # [8, K] lanes that have this MCU
-        # (int16 accumulator/iota was tried to halve the scatter width:
-        # v5e Mosaic rejects i16 vector compares — "Target does not
-        # support this comparison" — so the scatter stays int32.)
+        # The AC accumulator packs TWO 16-bit coefficients per int32 row
+        # (row r holds zigzag 2r in the low half, 2r+1 in the high half):
+        # every (run,size) symbol writes exactly one never-before-written
+        # slot (k is strictly increasing within a block), so the scatter
+        # can OR instead of ADD — no carries between halves — and the
+        # [64, 8, K] one-hot update becomes a [32, 8, K] one, halving the
+        # hot loop's biggest per-symbol cost. Magnitudes fit int16 by
+        # construction (size <= 15 -> EXTEND range (-32768, 32767]).
+        # (A true int16 accumulator was tried first: v5e Mosaic rejects
+        # i16 vector compares — "Target does not support this
+        # comparison" — so the packing stays int32-typed.)
         kiota = jax.lax.broadcasted_iota(
-            jnp.int32, (64, SUBLANES, K), 0
+            jnp.int32, (32, SUBLANES, K), 0
         )
 
         for b in range(B):
@@ -627,7 +689,7 @@ def _make_kernel(plan_static):
             # place: Mosaic copies while_loop carries every trip, which
             # for the old 512 KB accumulator carry alone was ~20% of
             # kernel time. The carry is just the trip counter.
-            acc_ref[:] = jnp.zeros((64, SUBLANES, K), jnp.int32)
+            acc_ref[:] = jnp.zeros((32, SUBLANES, K), jnp.int32)
             cur_ref[:] = cur
             w0_ref[:] = w0
             w1_ref[:] = w1
@@ -658,11 +720,15 @@ def _make_kernel(plan_static):
                 overrun = busy & (size > 0) & (nk > 63)
                 emit = busy & (size > 0) & (nk <= 63)
                 # Fold the emit mask into the value ([8,K], cheap) so
-                # the [64,8,K] scatter is one compare + one select+add:
-                # a non-emitting lane may still match kiota but adds 0.
-                vmask = jnp.where(emit, val, 0)
-                acc_ref[:] = acc_ref[:] + jnp.where(
-                    kiota == nk[None], vmask[None], 0
+                # the [32,8,K] scatter is one compare + one select+or:
+                # a non-emitting lane may still match kiota but ORs 0.
+                # Slot = (row nk>>1, half nk&1); each slot is written at
+                # most once per block, so OR never sees a carry.
+                vmask = jnp.where(emit, val & 0xFFFF, 0) << (
+                    (nk & 1) << 4
+                )
+                acc_ref[:] = acc_ref[:] | jnp.where(
+                    kiota == (nk >> 1)[None], vmask[None], 0
                 )
                 nc = _cur + jnp.where(busy, alen + size, 0)
                 _w0, _w1 = _advance_regs(bits, _w0, _w1, _cur, nc, W)
@@ -685,12 +751,18 @@ def _make_kernel(plan_static):
             acc = acc_ref[:]
             cur = cur_ref[:]
             err = err_acc_ref[:]
-            # Merge the int32 DC (predictor) over the int16 AC rows.
             dc_row = jnp.where(ok, pred, 0)
 
+            def coeff_at(zz):
+                # Unpack zigzag coefficient zz from the 16-bit-paired
+                # accumulator row (arithmetic shifts sign-extend).
+                row = acc[zz >> 1]
+                return (row >> 16) if (zz & 1) else ((row << 16) >> 16)
+
             if emit == "coeff":
-                outs[0][0, 0, b] = jnp.concatenate(
-                    [dc_row[None], acc[1:]], axis=0
+                outs[0][0, 0, b] = jnp.stack(
+                    [dc_row] + [coeff_at(z) for z in range(1, 64)],
+                    axis=0,
                 )
             else:
                 # Fused dequant + islow IDCT (same arithmetic as
@@ -703,7 +775,7 @@ def _make_kernel(plan_static):
                 deq = []
                 for n in range(64):
                     zz = int(NATURAL_TO_ZIGZAG[n])
-                    cv = dc_row if zz == 0 else acc[zz]
+                    cv = dc_row if zz == 0 else coeff_at(zz)
                     if nq == 1:
                         deq.append(cv * qsets[0][b][zz])
                     else:
@@ -769,8 +841,9 @@ def run_wavefront(
     [G, M, B, 64, 8, K]. emit='pixels': out is a TUPLE of per-scan-
     component int32 word arrays [G, v*8, M, h*2, 8, K] (4 raster
     pixels per word)."""
-    B, blk_tables, W, n_mcus, emit, qsets, comp_hv = plan_static
-    K = LANE_GROUP // SUBLANES
+    (B, blk_tables, W, n_mcus, emit, qsets, comp_hv,
+     lane_group) = plan_static
+    K = lane_group // SUBLANES
     base = _make_kernel(plan_static)
     # Device-side layout change: [G, 8, K, W] host order -> the
     # kernel's word-major [G, W, 8, K].
@@ -849,7 +922,8 @@ def run_wavefront(
             pltpu.VMEM((SUBLANES, K), jnp.int32),      # error flags
             pltpu.VMEM((SUBLANES, K), jnp.int32),      # window word 0
             pltpu.VMEM((SUBLANES, K), jnp.int32),      # window word 1
-            pltpu.VMEM((64, SUBLANES, K), jnp.int32),  # AC accumulator
+            # AC accumulator: two 16-bit coeffs per int32 row (_make_kernel)
+            pltpu.VMEM((32, SUBLANES, K), jnp.int32),
             pltpu.VMEM((SUBLANES, K), jnp.int32),      # AC k index
         ],
         interpret=interpret,
@@ -877,14 +951,14 @@ def assemble(
     (its restart interval) before flattening, so images with different
     restart intervals coexist in one launch (SURVEY.md §3.5)."""
     B, M, n_groups = shape
-    K = LANE_GROUP // SUBLANES
+    K = out.shape[-1]  # lane group = SUBLANES * K (plan.lane_group)
 
-    # [G, M, B, 64, 8, K] -> [lane, M, B, 64] with lane = g*2048 + s*K + j.
+    # [G, M, B, 64, 8, K] -> [lane, M, B, 64], lane = g*group + s*K + j.
     # (M, B, 64) merge before the transpose: see assemble_pixels.
     flat = (
         out.reshape(n_groups, M * B * 64, SUBLANES, K)
         .transpose(0, 2, 3, 1)
-        .reshape(n_groups * LANE_GROUP, M, B, 64)
+        .reshape(n_groups * SUBLANES * K, M, B, 64)
     )
 
     results: List[List[jnp.ndarray]] = []
@@ -947,10 +1021,7 @@ def _coeff_chain(plan: BlockPlan, geoms, interpret: bool):
     round-trips per mixed-table bucket (the coeff fallback's common
     customer). Keyed by static geometry only; closures capture ImageGeom
     (no bitstreams)."""
-    plan_static = (
-        plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus,
-        "coeff", None, (),
-    )
+    plan_static = plan.static_key("coeff")
     shape = (plan.blocks_per_mcu, plan.n_mcus, plan.n_groups)
     key = (
         plan_static, plan.n_groups,
@@ -988,7 +1059,7 @@ def decode_batch_to_device(
 ) -> Tuple[List[Optional[List[jnp.ndarray]]], Dict[int, Exception]]:
     """Uniform-batch device decode via the Pallas kernel. Same contract
     as wavefront.decode_batch_to_device."""
-    plan = build_block_plan(jpegs)
+    plan = build_block_plan(jpegs, emit_hint="coeff")
     interpret = jax.default_backend() != "tpu"
     geoms = tuple(ImageGeom.of(j) for j in jpegs)
     fn = _coeff_chain(plan, geoms, interpret)
@@ -1099,7 +1170,7 @@ def _comp_lanes(arr: jnp.ndarray) -> jnp.ndarray:
     and the raster."""
     G, v8, M, w2 = arr.shape[0], arr.shape[1], arr.shape[2], arr.shape[3]
     return arr.transpose(0, 4, 5, 1, 2, 3).reshape(
-        G * LANE_GROUP, v8, M, w2
+        G * arr.shape[-2] * arr.shape[-1], v8, M, w2
     )
 
 
@@ -1304,10 +1375,7 @@ def _rgb_chain(plan: BlockPlan, jpegs, config, interpret: bool,
     packed = packed and kernel_pipeline.packed_layout_applies(
         frame, config, color
     )
-    plan_static = (
-        plan.blocks_per_mcu, plan.blk_tables, plan.n_words, plan.n_mcus,
-        "pixels", plan.qsets, plan.comp_hv,
-    )
+    plan_static = plan.static_key("pixels")
     key = (
         plan_static, plan.n_groups, plan.frame_key, n_images,
         # Per-image scan geometry: lane counts alone can collide for
@@ -1776,16 +1844,17 @@ def _norst_chain(plan: BlockPlan, jpeg, interpret: bool):
     B = plan.blocks_per_mcu
     n_lanes, rows = plan.n_lanes, plan.norst_every
     blk_tables = plan.blk_tables
-    plan_static = (B, blk_tables, W, M, "coeff", None, ())
+    plan_static = plan.static_key("coeff")
+    lg = plan.lane_group
 
     def run(bits, lane_m, seg_bits, bit0, lane_mm, lane_seg, seg_first):
         out, err = run_wavefront(
             bits, lane_m, seg_bits, plan_static, G, interpret, bit0=bit0
         )
         flat = (
-            out.reshape(G, M * B * 64, SUBLANES, LANE_GROUP // SUBLANES)
+            out.reshape(G, M * B * 64, SUBLANES, lg // SUBLANES)
             .transpose(0, 2, 3, 1)
-            .reshape(G * LANE_GROUP, M, B, 64)
+            .reshape(G * lg, M, B, 64)
         )[:n_lanes]
         flat = _norst_dc_add(
             flat, lane_mm, blk_tables, lane_seg=lane_seg,
@@ -1860,7 +1929,7 @@ def decode_norst_sharded(
     # zero-MCU lanes that decode nothing and contribute zero DC totals.
     G = plan.n_groups
     Gp = -(-G // d) * d
-    K = LANE_GROUP // SUBLANES
+    lg = plan.lane_group
 
     def gpad(a, fill=0):
         out = np.full((Gp,) + a.shape[1:], fill, a.dtype)
@@ -1873,7 +1942,7 @@ def decode_norst_sharded(
     bit0 = gpad(plan.bit0)
     gd = Gp // d  # groups per device
     M, B = plan.n_mcus, plan.blocks_per_mcu
-    plan_static = (B, plan.blk_tables, plan.n_words, M, "coeff", None, ())
+    plan_static = plan.static_key("coeff")
     interpret = jax.default_backend() != "tpu"
     blk_tables = plan.blk_tables
     cis = sorted({ci for ci, _d2, _a in blk_tables})
@@ -1886,9 +1955,9 @@ def decode_norst_sharded(
             bit0=bit0_l,
         )
         flat = (
-            out.reshape(gd, M * B * 64, SUBLANES, LANE_GROUP // SUBLANES)
+            out.reshape(gd, M * B * 64, SUBLANES, lg // SUBLANES)
             .transpose(0, 2, 3, 1)
-            .reshape(gd * LANE_GROUP, M, B, 64)
+            .reshape(gd * lg, M, B, 64)
         )
         lm = lane_m_l.reshape(-1)
         dc = flat[..., 0]
@@ -1993,10 +2062,7 @@ def decode_batch_to_rgb_sharded(
                 "sharded decode needs identical chunk structure"
             )
 
-    plan_static = (
-        p0.blocks_per_mcu, p0.blk_tables, p0.n_words, p0.n_mcus,
-        "pixels", p0.qsets, p0.comp_hv,
-    )
+    plan_static = p0.static_key("pixels")
     interpret = jax.default_backend() != "tpu"
     frame = chunks[0][0].frame
 

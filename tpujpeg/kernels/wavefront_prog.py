@@ -44,6 +44,7 @@ from .wavefront_pallas import (
     LANE_GROUP,
     MAX_WORDS,
     SUBLANES,
+    _pick_group,
     CanonTable,
     _ERR_BADCODE,
     _ERR_RUN,
@@ -57,9 +58,6 @@ from .wavefront_pallas import (
     _window64,
     failures_from_err,
 )
-
-K = LANE_GROUP // SUBLANES
-
 
 # ---------------------------------------------------------------------------
 # Per-scan plan: restart segments -> lane rows (same layout as baseline).
@@ -137,10 +135,24 @@ class ScanPlan:
             )
 
         L = sum(n_seg for (_t, _r, n_seg) in geo)
-        G = -(-L // LANE_GROUP)
-        bits_flat = np.empty((G * LANE_GROUP, W), dtype=np.int32)
-        seg_bits = np.zeros(G * LANE_GROUP, dtype=np.int32)
-        lm = np.zeros(G * LANE_GROUP, np.int32)
+        # Group width by the widest VMEM block this scan kind's kernel
+        # holds per lane: DC-first writes B<=16 words, AC-first a 64-row
+        # block, AC-refine a 64-row prior in AND out (see _pick_group —
+        # wider lockstep groups are ~free throughput, the hot loop being
+        # latency-bound).
+        scan0 = jpegs[0].scans[k]
+        if scan0.ss == 0:
+            out_words = 16
+        elif scan0.ah == 0:
+            out_words = 64
+        else:
+            out_words = 128
+        lane_group = _pick_group(W, L, out_words)
+        K = lane_group // SUBLANES
+        G = -(-L // lane_group)
+        bits_flat = np.empty((G * lane_group, W), dtype=np.int32)
+        seg_bits = np.zeros(G * lane_group, dtype=np.int32)
+        lm = np.zeros(G * lane_group, np.int32)
         meta = np.zeros((L, 3), np.int32)
         self.img_view = []
         lane0 = 0
@@ -169,6 +181,7 @@ class ScanPlan:
         self.n_lanes = L
         self.n_words = W
         self.n_mcus = int(lm.max()) if L else 0
+        self.lane_group = lane_group
 
 
 def _tables_for_scan(scan, dc: bool) -> Tuple:
@@ -187,7 +200,8 @@ def _tables_for_scan(scan, dc: bool) -> Tuple:
 
 
 def _make_dc_first_kernel(static):
-    blk_sp, dc_tbls, W, al = static
+    blk_sp, dc_tbls, W, al, lane_group = static
+    K = lane_group // SUBLANES
     B = len(blk_sp)
     n_sp = max(blk_sp) + 1
 
@@ -235,7 +249,8 @@ def _make_dc_first_kernel(static):
 
 def _run_dc_first(bits, lane_m, seg_bits, static, n_groups, n_mcus,
                   interpret):
-    blk_sp, dc_tbls, W, al = static
+    blk_sp, dc_tbls, W, al, lane_group = static
+    K = lane_group // SUBLANES
     B = len(blk_sp)
     kern = _make_dc_first_kernel(static)
     bits = jnp.transpose(bits, (0, 3, 1, 2))
@@ -305,7 +320,8 @@ def _receive_raw(win, length, nbits):
 
 
 def _make_ac_first_kernel(static):
-    (ac_tbl,), W, ss, se, al = static
+    (ac_tbl,), W, ss, se, al, lane_group = static
+    K = lane_group // SUBLANES
 
     def kernel(lane_m_ref, bits_ref, out_ref, err_ref, cur_ref, end_ref,
                eob_ref, err_acc_ref, w0_ref, w1_ref, acc_ref, k_ref):
@@ -403,7 +419,8 @@ def _make_ac_first_kernel(static):
 
 def _run_ac_first(bits, lane_m, seg_bits, static, n_groups, n_mcus,
                   interpret):
-    _tbls, W, ss, se, al = static
+    _tbls, W, ss, se, al, lane_group = static
+    K = lane_group // SUBLANES
     kern = _make_ac_first_kernel(static)
     bits = jnp.transpose(bits, (0, 3, 1, 2))
 
@@ -468,7 +485,8 @@ _PH_DONE = 3
 
 
 def _make_ac_refine_kernel(static):
-    (ac_tbl,), W, ss, se, al = static
+    (ac_tbl,), W, ss, se, al, lane_group = static
+    K = lane_group // SUBLANES
     p1 = 1 << al
     m1 = (-1) << al
 
@@ -661,7 +679,8 @@ def _make_ac_refine_kernel(static):
 
 def _run_ac_refine(bits, lane_m, seg_bits, prior, static, n_groups,
                    n_mcus, interpret):
-    _tbls, W, ss, se, al = static
+    _tbls, W, ss, se, al, lane_group = static
+    K = lane_group // SUBLANES
     kern = _make_ac_refine_kernel(static)
     bits = jnp.transpose(bits, (0, 3, 1, 2))
 
@@ -721,21 +740,24 @@ run_ac_refine_jit = jax.jit(
 
 
 def _flat_lanes(out, G: int, M: int, B: int):
-    """[G, M, B, 8, K] kernel output -> [G*LANE_GROUP, M, B] lane-major.
+    """[G, M, B, 8, K] kernel output -> [G*group, M, B] lane-major.
     (M, B) merge before the transpose keeps the minor dim a 128-multiple
     — separate tiny minor dims get tile-padded up to 64x when XLA
     materializes the copy (see wavefront_pallas.assemble_pixels)."""
+    K = out.shape[-1]
     return (
         out.reshape(G, M * B, SUBLANES, K)
         .transpose(0, 2, 3, 1)
-        .reshape(G * LANE_GROUP, M, B)
+        .reshape(G * SUBLANES * K, M, B)
     )
 
 
-def _grids_to_lanes_s(img_view, G: int, n_lanes: int, M: int, grids):
+def _grids_to_lanes_s(img_view, G: int, n_lanes: int, M: int, grids,
+                      lane_group: int):
     """Per-image [height_blocks, width_blocks, 64] grids -> one
     [G, M, 64, 8, K] kernel input (the AC-refine prior). Images' lanes
     are contiguous, so this is a concat, not a scatter."""
+    K = lane_group // SUBLANES
     chunks = []
     for (lane0, n_seg, rows, total), grid in zip(img_view, grids):
         flat = grid.reshape(-1, 64)
@@ -746,7 +768,7 @@ def _grids_to_lanes_s(img_view, G: int, n_lanes: int, M: int, grids):
         if rows < M:
             flat = jnp.pad(flat, ((0, 0), (0, M - rows), (0, 0)))
         chunks.append(flat)
-    lane_pad = G * LANE_GROUP - n_lanes
+    lane_pad = G * lane_group - n_lanes
     if lane_pad:
         chunks.append(jnp.zeros((lane_pad, M, 64), chunks[0].dtype))
     flat = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
@@ -857,6 +879,7 @@ class _ScanStatic:
     W: int = 0
     n_lanes: int = 0
     img_view: Tuple = ()
+    lane_group: int = LANE_GROUP
 
 
 @dataclasses.dataclass(frozen=True)
@@ -908,6 +931,7 @@ def _scan_static(jpegs, k: int, plan: Optional[ScanPlan]) -> _ScanStatic:
         scan.ss, scan.se, scan.al, blk_sp, tbls,
         G=plan.n_groups, M=plan.n_mcus, W=plan.n_words,
         n_lanes=plan.n_lanes, img_view=tuple(plan.img_view),
+        lane_group=plan.lane_group,
     )
 
 
@@ -957,7 +981,7 @@ def _apply_static(
 
     bits, lane_m, seg_bits = arrs
     if sk.kind == "dc_first":
-        static = (sk.blk_sp, sk.tbls, sk.W, sk.al)
+        static = (sk.blk_sp, sk.tbls, sk.W, sk.al, sk.lane_group)
         out, err = run_dc_first_jit(
             bits, lane_m, seg_bits, static, sk.G, sk.M, interpret
         )
@@ -972,7 +996,7 @@ def _apply_static(
     # AC scans: single component (parser-enforced).
     ci = sk.comp_indices[0]
     _h, _v, phb, pwb, hb, wb = gs.comps[ci]
-    static = (sk.tbls, sk.W, sk.ss, sk.se, sk.al)
+    static = (sk.tbls, sk.W, sk.ss, sk.se, sk.al, sk.lane_group)
 
     if sk.kind == "ac_first":
         out, err = run_ac_first_jit(
@@ -996,7 +1020,7 @@ def _apply_static(
         fulls.append(full)
         priors.append(full[:hb, :wb])
     prior = _grids_to_lanes_s(
-        sk.img_view, sk.G, sk.n_lanes, sk.M, priors
+        sk.img_view, sk.G, sk.n_lanes, sk.M, priors, sk.lane_group
     )
     out, err = run_ac_refine_jit(
         bits, lane_m, seg_bits, prior, static, sk.G, sk.M, interpret

@@ -66,7 +66,7 @@ def get_lib() -> ctypes.CDLL:
 
         lib.tj_decode_scan.restype = ctypes.c_int
         lib.tj_decode_scan.argtypes = [
-            ctypes.c_char_p,                  # scan_data
+            ctypes.c_void_p,                  # scan_data (ptr: zero-copy)
             ctypes.c_int64,                   # scan_len
             ctypes.POINTER(ctypes.c_int64),   # rst_offsets
             ctypes.c_int,                     # n_rst
@@ -85,7 +85,7 @@ def get_lib() -> ctypes.CDLL:
 
         lib.tj_destuff_rows.restype = ctypes.c_int
         lib.tj_destuff_rows.argtypes = [
-            ctypes.c_char_p,
+            ctypes.c_void_p,                  # scan_data (ptr: zero-copy)
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int,
@@ -139,7 +139,7 @@ def get_lib() -> ctypes.CDLL:
 
         lib.tj_destuff_segments.restype = ctypes.c_int64
         lib.tj_destuff_segments.argtypes = [
-            ctypes.c_char_p,
+            ctypes.c_void_p,                  # scan_data (ptr: zero-copy)
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int,

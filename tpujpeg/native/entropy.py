@@ -58,6 +58,16 @@ def _pack_hspecs(huff: Dict[Tuple[int, int], bitstream.HuffSpec]) -> bytes:
     return bytes(buf)
 
 
+def _scan_buf(scan: bitstream.Scan) -> Tuple[int, int, np.ndarray]:
+    """(pointer, length, keepalive) for scan.data with no copy:
+    Scan.data is a memoryview into the original file bytes (parse makes
+    no payload copies); np.frombuffer wraps it zero-copy and .ctypes
+    exposes the address. Callers must hold the keepalive array across
+    the native call."""
+    a = np.frombuffer(scan.data, dtype=np.uint8)
+    return a.ctypes.data if a.size else 0, a.size, a
+
+
 def default_threads() -> int:
     env = os.environ.get("TPUJPEG_THREADS")
     if env:
@@ -92,9 +102,10 @@ def decode_scan(
         else:
             ptrs.append(None)
 
+    dptr, dlen, _keep = _scan_buf(scan)
     code = lib.tj_decode_scan(
-        scan.data,
-        len(scan.data),
+        dptr,
+        dlen,
         rsts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(scan.rst_offsets),
         geom.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -131,12 +142,13 @@ def destuff_segments(scan: bitstream.Scan) -> Tuple[np.ndarray, np.ndarray]:
     shipped to the device wavefront decoder (SURVEY.md §3.4)."""
     lib = build_mod.get_lib()
     n_rst = len(scan.rst_offsets)
-    out = np.empty(len(scan.data), dtype=np.uint8)
+    dptr, dlen, _keep = _scan_buf(scan)
+    out = np.empty(dlen, dtype=np.uint8)
     starts = np.zeros(n_rst + 2, dtype=np.int64)
     rsts = np.asarray(scan.rst_offsets, dtype=np.int64)
     total = lib.tj_destuff_segments(
-        scan.data,
-        len(scan.data),
+        dptr,
+        dlen,
         rsts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         n_rst,
         out.ctypes.data_as(ctypes.c_void_p),
@@ -285,9 +297,10 @@ def destuff_rows(
         )
     rsts = np.asarray(scan.rst_offsets, dtype=np.int64)
     assert out_words.dtype == np.int32 and out_words.flags.c_contiguous
+    dptr, dlen, _keep = _scan_buf(scan)
     rc = lib.tj_destuff_rows(
-        scan.data,
-        len(scan.data),
+        dptr,
+        dlen,
         rsts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(scan.rst_offsets),
         n_seg,

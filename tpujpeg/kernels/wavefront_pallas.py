@@ -35,6 +35,7 @@ from __future__ import annotations
 import collections
 import dataclasses
 import functools
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -56,8 +57,25 @@ from . import wavefront as wf_xla
 LANE_GROUP = 2048          # default lanes per kernel grid group
 MAX_GROUP = 8192           # widest group the VMEM budget allows
 SUBLANES = 8
+
+# AC symbols decoded per while_loop trip. The hot loop is LATENCY-bound
+# on its dependency chain (CLAUDE.md, session-3 probes); loop state
+# lives in VMEM scratch refs, so every trip pays a scratch read/write
+# round plus the cond's any-reduce. Unrolling two symbols per trip
+# keeps (cur, k, err, w0, w1) in registers between the pair and
+# amortizes those per-trip costs over two symbols. Env knob for A/B
+# profiling on the chip (build-time constant; tools run one per proc).
+# Measured (v5e, 2048^2 q85 4:2:0 batch 64, width 4096, kernel-only):
+# 1 sym/trip 4596 MP/s -> 2 syms/trip 4728 MP/s (+2.9%); 3/trip 4702
+# (divergence waste outgrows the amortization — 2 is the knee). Post-
+# unroll, wider groups no longer help either: 8192 = 4678, 16384 = 4485
+# (tools/vmem_probe.py with the scoped pool raised to 48 MB), so the
+# unroll and the width were hiding the SAME per-trip latency.
+AC_SYMS_PER_TRIP = int(os.environ.get("TJ_AC_SYMS", "2"))
 MAX_WORDS = 512            # per-lane bitstream words cap (VMEM)
 MAX_QSETS = 8              # distinct quantizer sets one fused launch takes
+# _pick_group's scoped-VMEM budget (MB); see its docstring.
+VMEM_BUDGET_MB = int(os.environ.get("TJ_VMEM_BUDGET_MB", "10"))
 
 
 def _pick_group(W: int, n_lanes: int, out_words: int) -> int:
@@ -77,10 +95,15 @@ def _pick_group(W: int, n_lanes: int, out_words: int) -> int:
     share the scoped-vmem pool (measured: the same kernel that fit in
     13.55 MB standalone was charged 19.76 MB inside bench's rgb chain
     and OOM'd), so the kernel must leave headroom for co-scheduled
-    copies."""
+    copies. TJ_VMEM_BUDGET_MB overrides for probes that also raise the
+    compiler's pool via xla_tpu_scoped_vmem_limit_kib (tools/
+    vmem_probe.py — per-jit compiler_options DOES ride the axon remote
+    compile: 8192/16384-lane chains compiled fine at a 48 MB pool, but
+    post-unroll they time WORSE than 4096, so the default stays put)."""
     per_lane = 4 * (2 * W + 2 * max(out_words, 1) + 40)
     g = MAX_GROUP
-    while g > LANE_GROUP and g * per_lane > (10 << 20):
+    budget = VMEM_BUDGET_MB << 20
+    while g > LANE_GROUP and g * per_lane > budget:
         g //= 2
     # Don't pad a small batch past the next power of two.
     while g > LANE_GROUP and g >= 2 * max(n_lanes, 1):
@@ -701,12 +724,11 @@ def _make_kernel(plan_static):
                 busy = ok & (k_ref[:] < 64) & (err_acc_ref[:] == 0)
                 return jnp.any(busy) & (step < 64)
 
-            def body(step):
-                _cur = cur_ref[:]
-                _k = k_ref[:]
-                _err = err_acc_ref[:]
-                _w0 = w0_ref[:]
-                _w1 = w1_ref[:]
+            def sym_step(_cur, _k, _err, _w0, _w1):
+                """One AC symbol for every lane, registers in/out.
+                Returns the new state plus this symbol's OR-term for the
+                packed accumulator (folded into one acc_ref write per
+                trip by the caller)."""
                 busy = ok & (_k < 64) & (_err == 0)
                 awin = _win_from_regs(_w0, _w1, _cur)
                 rs, alen = _decode_symbol_win(awin, act)
@@ -727,15 +749,12 @@ def _make_kernel(plan_static):
                 vmask = jnp.where(emit, val & 0xFFFF, 0) << (
                     (nk & 1) << 4
                 )
-                acc_ref[:] = acc_ref[:] | jnp.where(
+                orterm = jnp.where(
                     kiota == (nk >> 1)[None], vmask[None], 0
                 )
                 nc = _cur + jnp.where(busy, alen + size, 0)
                 _w0, _w1 = _advance_regs(bits, _w0, _w1, _cur, nc, W)
-                w0_ref[:] = _w0
-                w1_ref[:] = _w1
-                cur_ref[:] = nc
-                k_ref[:] = jnp.where(
+                _k = jnp.where(
                     busy,
                     jnp.where(
                         is_eob, 64,
@@ -744,7 +763,19 @@ def _make_kernel(plan_static):
                     _k,
                 )
                 _err = jnp.where(badc, _ERR_BADCODE, _err)
-                err_acc_ref[:] = jnp.where(overrun, _ERR_RUN, _err)
+                _err = jnp.where(overrun, _ERR_RUN, _err)
+                return nc, _k, _err, _w0, _w1, orterm
+
+            def body(step):
+                st = (cur_ref[:], k_ref[:], err_acc_ref[:],
+                      w0_ref[:], w1_ref[:])
+                oracc = acc_ref[:]
+                for _s in range(AC_SYMS_PER_TRIP):
+                    *st, orterm = sym_step(*st)
+                    oracc = oracc | orterm
+                acc_ref[:] = oracc
+                cur_ref[:], k_ref[:], err_acc_ref[:] = st[0], st[1], st[2]
+                w0_ref[:], w1_ref[:] = st[3], st[4]
                 return step + 1
 
             jax.lax.while_loop(cond, body, jnp.int32(0))

@@ -41,6 +41,7 @@ from ..errors import (
     JpegUnsupportedError,
 )
 from .wavefront_pallas import (
+    AC_SYMS_PER_TRIP,
     LANE_GROUP,
     MAX_WORDS,
     SUBLANES,
@@ -362,13 +363,10 @@ def _make_ac_first_kernel(static):
             busy = busy0 & (k_ref[:] <= se) & (err_acc_ref[:] == 0)
             return jnp.any(busy) & (step < 80)
 
-        def body(step):
-            _cur = cur_ref[:]
-            _k = k_ref[:]
-            _err = err_acc_ref[:]
-            _eob = eob_ref[:]
-            _w0 = w0_ref[:]
-            _w1 = w1_ref[:]
+        def sym_step(_cur, _k, _err, _eob, _w0, _w1):
+            """One AC-first symbol per lane, registers in/out; returns
+            the new state plus this symbol's add-term for the
+            accumulator (folded into one acc_ref write per trip)."""
             busy = busy0 & (_k <= se) & (_err == 0)
             win = _win_from_regs(_w0, _w1, _cur)
             rs, alen = _decode_symbol_win(win, ac_tbl)
@@ -382,27 +380,34 @@ def _make_ac_first_kernel(static):
             over = busy & (s > 0) & (nk > se)
             emit = busy & (s > 0) & (nk <= se)
             vmask = jnp.where(emit, val << al, 0)
-            acc_ref[:] = acc_ref[:] + jnp.where(
-                kiota == nk[None], vmask[None], 0
-            )
+            addterm = jnp.where(kiota == nk[None], vmask[None], 0)
             extra = _receive_raw(win, alen, jnp.where(is_eob, r, 0))
             new_eob = jnp.left_shift(1, r) - 1 + extra
-            eob_ref[:] = jnp.where(busy & is_eob, new_eob, _eob)
+            _eob = jnp.where(busy & is_eob, new_eob, _eob)
             consumed = alen + jnp.where(
                 s > 0, s, jnp.where(is_eob, r, 0)
             )
             nc = _cur + jnp.where(busy, consumed, 0)
             _w0, _w1 = _advance_regs(bits, _w0, _w1, _cur, nc, W)
-            w0_ref[:] = _w0
-            w1_ref[:] = _w1
-            cur_ref[:] = nc
-            k_ref[:] = jnp.where(
+            _k = jnp.where(
                 busy,
                 jnp.where(is_eob, 65, jnp.where(is_zrl, _k + 16, nk + 1)),
                 _k,
             )
             _err = jnp.where(badc, _ERR_BADCODE, _err)
-            err_acc_ref[:] = jnp.where(over, _ERR_RUN, _err)
+            _err = jnp.where(over, _ERR_RUN, _err)
+            return nc, _k, _err, _eob, _w0, _w1, addterm
+
+        def body(step):
+            st = (cur_ref[:], k_ref[:], err_acc_ref[:], eob_ref[:],
+                  w0_ref[:], w1_ref[:])
+            adds = acc_ref[:]
+            for _s in range(AC_SYMS_PER_TRIP):
+                *st, addterm = sym_step(*st)
+                adds = adds + addterm
+            acc_ref[:] = adds
+            cur_ref[:], k_ref[:], err_acc_ref[:] = st[0], st[1], st[2]
+            eob_ref[:], w0_ref[:], w1_ref[:] = st[3], st[4], st[5]
             return step + 1
 
         cur_ref[:] = cur
@@ -491,7 +496,8 @@ def _make_ac_refine_kernel(static):
     m1 = (-1) << al
 
     def kernel(lane_m_ref, bits_ref, prior_ref, out_ref, err_ref,
-               cur_ref, end_ref, eob_ref, err_acc_ref, w0_ref, w1_ref):
+               cur_ref, end_ref, eob_ref, err_acc_ref, w0_ref, w1_ref,
+               k_ref, r_ref, s_ref, val_ref, ph_ref):
         m = pl.program_id(1)
         bits = bits_ref[0]
         lane_m = lane_m_ref[0]
@@ -529,25 +535,32 @@ def _make_ac_refine_kernel(static):
         # accumulator (wavefront_pallas).
         out_ref[0, 0] = prior
 
-        st0 = (
-            cur,
-            w0_ref[:],
-            w1_ref[:],
-            jnp.full((SUBLANES, K), ss, jnp.int32),   # k
-            jnp.zeros((SUBLANES, K), jnp.int32),      # r (zero-run left)
-            jnp.zeros((SUBLANES, K), jnp.int32),      # s flag (insert?)
-            jnp.zeros((SUBLANES, K), jnp.int32),      # val to insert
-            eob,
-            phase0,
-            err,
-            jnp.int32(0),
-        )
+        # ALL remaining loop state lives in VMEM scratch refs too:
+        # Mosaic copies while_loop carries EVERY trip, and the old
+        # 10-array [8,K] carry tuple cost ~10 vreg-row copies per trip
+        # over up to 224 trips. The carry is just the trip counter.
+        k_ref[:] = jnp.full((SUBLANES, K), ss, jnp.int32)
+        r_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+        s_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+        val_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+        ph_ref[:] = phase0
+        eob_ref[:] = eob
+        err_acc_ref[:] = err
 
-        def cond(st):
-            return jnp.any(st[8] != _PH_DONE) & (st[10] < 224)
+        def cond(step):
+            return jnp.any(ph_ref[:] != _PH_DONE) & (step < 224)
 
-        def body(st):
-            (cur, rw0, rw1, k, r, s, val, eob, ph, err, step) = st
+        def body(step):
+            cur = cur_ref[:]
+            rw0 = w0_ref[:]
+            rw1 = w1_ref[:]
+            k = k_ref[:]
+            r = r_ref[:]
+            s = s_ref[:]
+            val = val_ref[:]
+            eob = eob_ref[:]
+            ph = ph_ref[:]
+            err = err_acc_ref[:]
             cur0 = cur
             # ONE register window serves all three phases: a lane is in
             # exactly one phase, and only its own branch advances cur,
@@ -659,19 +672,22 @@ def _make_ac_refine_kernel(static):
             # — all under 32 bits, the register-slide invariant.
             rw0, rw1 = _advance_regs(bits, rw0, rw1, cur0, cur, W)
 
-            return (cur, rw0, rw1, k, r, s, val, eob, ph, err, step + 1)
+            cur_ref[:] = cur
+            w0_ref[:] = rw0
+            w1_ref[:] = rw1
+            k_ref[:] = k
+            r_ref[:] = r
+            s_ref[:] = s
+            val_ref[:] = val
+            eob_ref[:] = eob
+            ph_ref[:] = ph
+            err_acc_ref[:] = err
+            return step + 1
 
-        (cur, w0, w1, _k, _r, _s, _v, eob, _ph, err, _steps) = (
-            jax.lax.while_loop(cond, body, st0)
-        )
+        jax.lax.while_loop(cond, body, jnp.int32(0))
+        err = err_acc_ref[:]
 
-        w0_ref[:] = w0
-        w1_ref[:] = w1
-        cur_ref[:] = cur
-        eob_ref[:] = eob
-        err_acc_ref[:] = err
-
-        trunc = (cur > end_ref[0] + 7) & (lane_m > 0)
+        trunc = (cur_ref[:] > end_ref[0] + 7) & (lane_m > 0)
         err_ref[0] = err | jnp.where(trunc, _ERR_TRUNC, 0)
 
     return kernel
@@ -685,9 +701,11 @@ def _run_ac_refine(bits, lane_m, seg_bits, prior, static, n_groups,
     bits = jnp.transpose(bits, (0, 3, 1, 2))
 
     def kernel(lane_m_ref, bits_ref, end_ref, prior_ref, out_ref,
-               err_ref, cur_ref, eob_ref, err_acc_ref, w0_ref, w1_ref):
+               err_ref, cur_ref, eob_ref, err_acc_ref, w0_ref, w1_ref,
+               k_ref, r_ref, s_ref, val_ref, ph_ref):
         kern(lane_m_ref, bits_ref, prior_ref, out_ref, err_ref, cur_ref,
-             end_ref, eob_ref, err_acc_ref, w0_ref, w1_ref)
+             end_ref, eob_ref, err_acc_ref, w0_ref, w1_ref,
+             k_ref, r_ref, s_ref, val_ref, ph_ref)
 
     out, err = pl.pallas_call(
         kernel,
@@ -722,6 +740,11 @@ def _run_ac_refine(bits, lane_m, seg_bits, prior, static, n_groups,
             pltpu.VMEM((SUBLANES, K), jnp.int32),
             pltpu.VMEM((SUBLANES, K), jnp.int32),  # window word 0
             pltpu.VMEM((SUBLANES, K), jnp.int32),  # window word 1
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # k index
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # zero-run left
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # insert flag
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # insert value
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # phase
         ],
         interpret=interpret,
     )(lane_m, bits, seg_bits, prior)

@@ -56,6 +56,22 @@ def main() -> int:
 
     out = {"scoped_kib": scoped_kib,
            "budget_mb": wp.VMEM_BUDGET_MB}
+    saved_group = (wp.LANE_GROUP, wp.MAX_GROUP)
+    try:
+        _probe_widths(out, widths, wp, jpegs, cfg, copts, interpret, total_mp)
+    finally:
+        wp.LANE_GROUP, wp.MAX_GROUP = saved_group
+    print(json.dumps(out))
+    return 0
+
+
+def _probe_widths(out, widths, wp, jpegs, cfg, copts, interpret, total_mp):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpujpeg.kernels import pipeline as kernel_pipeline
+
     for width in widths:
         wp.MAX_GROUP = width
         wp.LANE_GROUP = min(2048, width)
@@ -114,9 +130,6 @@ def main() -> int:
                          "mp_per_s": round(total_mp / s, 1)}
         out[f"w{width}"] = row
         print(json.dumps({f"w{width}": row}), flush=True)
-    wp.LANE_GROUP, wp.MAX_GROUP = 2048, 8192
-    print(json.dumps(out))
-    return 0
 
 
 if __name__ == "__main__":

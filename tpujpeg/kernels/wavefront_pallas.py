@@ -71,7 +71,7 @@ SUBLANES = 8
 # unroll, wider groups no longer help either: 8192 = 4678, 16384 = 4485
 # (tools/vmem_probe.py with the scoped pool raised to 48 MB), so the
 # unroll and the width were hiding the SAME per-trip latency.
-AC_SYMS_PER_TRIP = int(os.environ.get("TJ_AC_SYMS", "2"))
+AC_SYMS_PER_TRIP = max(1, int(os.environ.get("TJ_AC_SYMS", "2")))
 MAX_WORDS = 512            # per-lane bitstream words cap (VMEM)
 MAX_QSETS = 8              # distinct quantizer sets one fused launch takes
 # _pick_group's scoped-VMEM budget (MB); see its docstring.

@@ -94,6 +94,20 @@ def main() -> int:
         rgb = kernel_pipeline.transform_planes_batch(frame, stacked, cfg)
         return jnp.sum(rgb.astype(jnp.int32)), err
 
+    @jax.jit
+    def prog_d(bits, lane_m, seg_bits, lane_q):
+        # The bench chain: packed16 output (decode_stream layout,
+        # chain ends AT the color kernel — no u16->u8 retile, no NHWC).
+        out, err = wp.run_wavefront(
+            bits, lane_m, seg_bits, plan_static, plan.n_groups, interpret,
+            lane_q,
+        )
+        stacked = wp.assemble_pixels_stacked(shape, out, geoms)
+        rgb = kernel_pipeline.transform_planes_batch(
+            frame, stacked, cfg, packed=True
+        )
+        return jnp.sum(rgb[..., -1, :].astype(jnp.int32)), err
+
     def timed(fn, label):
         v, err = fn(bits, lane_m, seg_bits, lane_q)
         _ = int(v)  # compile + warm, true sync
@@ -111,6 +125,7 @@ def main() -> int:
         "A_kernel_only": timed(prog_a, "A"),
         "B_kernel_plus_assembly": timed(prog_b, "B"),
         "C_full_chain": timed(prog_c, "C"),
+        "D_packed16_chain": timed(prog_d, "D"),
     }
     res["assembly_s"] = round(
         res["B_kernel_plus_assembly"]["s"] - res["A_kernel_only"]["s"], 4

@@ -90,11 +90,17 @@ def _color_u16pair(y_e, y_o, cb_e, cb_o, cr_e, cr_o):
 def _kernel_h2v2(y_ref, cbc_ref, cba_ref, cbb_ref, crc_ref, cra_ref, crb_ref,
                  out_ref):
     """One strip of one image: T2 chroma rows + 8-row halo blocks ->
-    [3, T2, 2, Wc] uint16 column-packed RGB (dim2 = output-row parity,
-    ADJACENT to the chroma row so the post-kernel row interleave is a
-    pure reshape instead of a 1.6 GB transposed copy).
+    [3, T2, 2*Wc] uint16 column-packed RGB. Output-row parity lives in
+    the Wc-wide COLUMN HALVES of the minor dim (parity p, word w at
+    column p*Wc+w): (t, p*Wc+w) linearizes to t*2Wc + p*Wc + w =
+    (2t+p)*Wc + w, so the post-kernel row interleave is still a pure
+    reshape to [3, 2*T2, Wc] — and unlike the earlier [T2, 2, Wc] form
+    the block's minor dims (T2, 2Wc) tile cleanly onto (8, 128); the
+    size-2 sublane dim cost ~45% of the kernel's runtime in padded
+    stores (round-3 probe tools/color_probe.py).
     y_ref: [1, 4, T2, Wc] phase-split."""
     t2 = cbc_ref.shape[1]
+    wc = cbc_ref.shape[2]
     i = pl.program_id(1)
     n = pl.num_programs(1)
 
@@ -127,7 +133,7 @@ def _kernel_h2v2(y_ref, cbc_ref, cba_ref, cbb_ref, crc_ref, cra_ref, crb_ref,
             cb4[pe], cb4[po], cr4[pe], cr4[po],
         )
         for c in range(3):
-            out_ref[0, c, :, rp] = rgb[c]
+            out_ref[0, c, :, pl.ds(rp * wc, wc)] = rgb[c]
 
 
 def _kernel_h2v1(y_ref, cb_ref, cr_ref, out_ref):
@@ -224,7 +230,7 @@ def upsample_color_h2v2_batch(y, cb, cr, interpret: bool = False,
         (1, 4, t2, wc), lambda b, i: (b, 0, i, 0), memory_space=pltpu.VMEM
     )
     ospec = pl.BlockSpec(
-        (1, 3, t2, 2, wc), lambda b, i: (b, 0, i, 0, 0),
+        (1, 3, t2, 2 * wc), lambda b, i: (b, 0, i, 0),
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
@@ -232,10 +238,10 @@ def upsample_color_h2v2_batch(y, cb, cr, interpret: bool = False,
         grid=grid,
         in_specs=[pspec, center, above, below, center, above, below],
         out_specs=ospec,
-        out_shape=jax.ShapeDtypeStruct((n, 3, hc, 2, wc), jnp.uint16),
+        out_shape=jax.ShapeDtypeStruct((n, 3, hc, 2 * wc), jnp.uint16),
         interpret=interpret,
     )(y4, cb, cb, cb, cr, cr, cr)
-    # Row interleave: row parity is already adjacent to the chroma row
+    # Row interleave: row parity sits in the minor dim's column halves
     # (kernel layout), so this is a pure reshape; the column unpack is
     # a bitcast+merge. The old path paid a 1.6 GB transposed copy here.
     rows = out.reshape(n, 3, 2 * hc, wc)

@@ -70,9 +70,10 @@ def main() -> int:
     )
 
     def run_cur(y4, cbp, crp):
+        # The landed module kernel (column-halves layout since a9a99aa).
         n = cbp.shape[0]
         ospec = pl.BlockSpec(
-            (1, 3, t2, 2, wc), lambda b, i: (b, 0, i, 0, 0),
+            (1, 3, t2, 2 * wc), lambda b, i: (b, 0, i, 0),
             memory_space=pltpu.VMEM,
         )
         return pl.pallas_call(
@@ -80,7 +81,7 @@ def main() -> int:
             grid=(n, hc // t2),
             in_specs=[pspec, center, above, below, center, above, below],
             out_specs=ospec,
-            out_shape=jax.ShapeDtypeStruct((n, 3, hc, 2, wc), jnp.uint16),
+            out_shape=jax.ShapeDtypeStruct((n, 3, hc, 2 * wc), jnp.uint16),
             interpret=interpret,
         )(y4, cbp, cbp, cbp, crp, crp, crp)
 

@@ -75,7 +75,7 @@ def main():
                     blk_sp += [sp] * (c.h * c.v)
                 static = (
                     tuple(blk_sp), wprog._tables_for_scan(scan, dc=True),
-                    plan.n_words, scan.al,
+                    plan.n_words, scan.al, plan.lane_group,
                 )
                 out, err = wprog.run_dc_first_jit(
                     jnp.asarray(plan.bits), jnp.asarray(plan.lane_m),
@@ -85,7 +85,7 @@ def main():
             else:
                 static = (
                     wprog._tables_for_scan(scan, dc=False), plan.n_words,
-                    scan.ss, scan.se, scan.al,
+                    scan.ss, scan.se, scan.al, plan.lane_group,
                 )
                 if scan.ah == 0:
                     out, err = wprog.run_ac_first_jit(

@@ -2,9 +2,11 @@
 "no-restart streams" edge; SURVEY.md §5 long-context items 3-4): one
 huge baseline JPEG with NO restart markers. The host turns the serial
 bitstream into wavefront lanes with the SPECULATIVE parallel skeleton
-scan (tj_scan_split_spec — self-syncing workers + validating stitch),
-the device decodes lanes with local DC predictors, and the exclusive
-prefix fixup recovers true DCs.
+scan (tj_scan_split_spec — self-syncing workers + validating stitch,
+which also records each lane's absolute DC predictors), and the device
+runs the SAME fully fused wavefront+IDCT+upsample+color chain as
+restart-segmented streams — lanes are DC-primed, so no prefix fixup
+pass and no separate transform dispatch.
 
 Reports the host prep rate (parse + destuff + speculative split + plan,
 the stage that bound this path when the skeleton scan was serial) and
@@ -66,38 +68,37 @@ def main():
     bits = jax.device_put(jnp.asarray(plan.bits))
     lane_m = jax.device_put(jnp.asarray(plan.lane_m))
     seg_bits = jax.device_put(jnp.asarray(plan.seg_bits))
+    lane_qset = jax.device_put(jnp.asarray(plan.lane_qset))
     bit0 = jax.device_put(jnp.asarray(plan.bit0))
-    lane_mm = jax.device_put(jnp.asarray(plan.lane_meta[:, 2]))
-    lane_seg = jax.device_put(jnp.asarray(np.asarray(plan.lane_seg, np.int32)))
-    seg_first = jax.device_put(jnp.asarray(np.asarray(plan.seg_first, np.int32)))
+    dc0 = jax.device_put(jnp.asarray(plan.lane_dc0))
     _ = int(csum(lane_m))
     upload_s = time.perf_counter() - t0
 
-    fn = wp._norst_chain(plan, jpeg, interpret)
-    qtabs = [jnp.asarray(jpeg.qtables[c.tq]) for c in jpeg.frame.components]
+    color = bitstream.color_space(jpeg)
+    packed = kernel_pipeline.packed_layout_applies(jpeg.frame, cfg, color)
+    fn = wp._rgb_chain(plan, [jpeg], cfg, interpret, packed=packed)
 
     def chip_decode():
-        coeffs, err = fn(
-            bits, lane_m, seg_bits, bit0, lane_mm, lane_seg, seg_first
-        )
-        rgb = kernel_pipeline.transform_batch(
-            jpeg.frame, [c[None] for c in coeffs], qtabs, cfg
-        )
-        return rgb, err
+        return fn(bits, lane_m, seg_bits, lane_qset, bit0, dc0)
 
     rgb, err = chip_decode()
-    _ = int(csum(rgb))  # compile + warm, true sync
+    _ = int(csum(err))  # compile + warm, true sync
     assert not np.asarray(err).reshape(-1)[: plan.n_lanes].any()
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         rgb, err = chip_decode()
-        _ = int(csum(rgb))
+        _ = int(csum(err))
         times.append(time.perf_counter() - t0)
     value = mp / min(times)
 
-    exact = bool(np.array_equal(np.asarray(rgb[0]), np.asarray(im)))
+    got = np.asarray(rgb[0])
+    if packed:
+        got = (
+            got.view(np.uint8).reshape(3, size, size).transpose(1, 2, 0)
+        )
+    exact = bool(np.array_equal(got, np.asarray(im)))
     print(
         json.dumps(
             {
@@ -115,9 +116,10 @@ def main():
                     "staged_upload_s": round(upload_s, 3),
                     "includes": (
                         "speculative parallel skeleton scan on host;"
-                        " on-chip wavefront decode + DC prefix fixup +"
-                        " transform, inputs staged in HBM"
+                        " on-chip DC-primed fused wavefront+IDCT+"
+                        "upsample+color chain, inputs staged in HBM"
                     ),
+                    "layout": "packed16" if packed else "nhwc",
                     "platform": jax.devices()[0].platform,
                 },
             }

@@ -113,8 +113,8 @@ def test_destuff_rows_matches_segments():
 
 def test_native_scan_split_matches_python_walk():
     """tj_scan_split (skeleton scan, round-2 addition) vs the
-    pure-python walker: identical bit offsets on marker-free and
-    restart-segmented streams."""
+    pure-python walker: identical bit offsets AND per-lane DC predictor
+    values on marker-free and restart-segmented streams."""
     from tpujpeg.kernels.wavefront_pallas import _skeleton_walk_py
 
     for kw in (dict(), dict(restart_blocks=64)):
@@ -129,11 +129,63 @@ def test_native_scan_split_matches_python_walk():
         while mcu < total:
             n_m = min(ri, total - mcu)
             sub = dest[int(starts[si]) : int(starts[si + 1])]
-            got = native_entropy.scan_split_buf(sub, jpeg, scan, n_m, 7)
-            want = _skeleton_walk_py(bytes(sub), jpeg, scan, n_m, 7)
+            got, got_dc = native_entropy.scan_split_buf(
+                sub, jpeg, scan, n_m, 7
+            )
+            want, want_dc = _skeleton_walk_py(
+                bytes(sub), jpeg, scan, n_m, 7
+            )
             np.testing.assert_array_equal(got, want)
+            np.testing.assert_array_equal(got_dc, want_dc)
             mcu += n_m
             si += 1
+
+
+def test_native_scan_split_dc_matches_full_decode():
+    """The skeleton scan's DC predictor records equal the REAL decoder's
+    predictor state at the same MCUs (oracle: dequantized-DC deltas from
+    the python full decode) — the contract that lets lane_dc0 prime the
+    fused kernel with true DCs."""
+    from tpujpeg import huffman as hf
+
+    data = make_jpeg(160, 96, seed=31, subsampling=2)
+    jpeg = bitstream.parse(data)
+    scan = jpeg.scans[0]
+    dest, _ = native_entropy.destuff_segments(scan)
+    total, _sp = native_entropy._blocks_sp(jpeg, scan)
+    every = 5
+    offs, dcs = native_entropy.scan_split_buf(dest, jpeg, scan, total, every)
+    # Oracle: raw (pre-dequant) DC coefficients from the full decode are
+    # the predictor values AFTER each MCU; predictor AT MCU m's start is
+    # the last DC of each component in MCUs [0, m).
+    frame = jpeg.frame
+    coeffs = [
+        np.zeros((c.padded_hb * c.padded_wb, 64), np.int32)
+        for c in frame.components
+    ]
+    hf.decode_baseline_scan(jpeg, scan, coeffs)
+    for li in range(len(dcs)):
+        m = li * every
+        for p, ci in enumerate(scan.comp_indices):
+            c = frame.components[ci]
+            nb = c.h * c.v  # blocks of ci per MCU
+            if m == 0:
+                want = 0
+            else:
+                # Last block of component ci within the first m MCUs, in
+                # MCU-interleaved order == block index m*nb-1 of ci.
+                grid = coeffs[ci]
+                my, mx = frame.mcus_y, frame.mcus_x
+                # grid is [padded blocks, 64] in raster block order:
+                # recover MCU-order index of block m*nb-1.
+                k = m * nb - 1
+                mcu_i, bi = divmod(k, nb)
+                ry, rx = divmod(mcu_i, mx)
+                dv, dh = divmod(bi, c.h)
+                row = ry * c.v + dv
+                col = rx * c.h + dh
+                want = int(grid[row * c.padded_wb + col, 0])
+            assert int(dcs[li, p]) == want, (li, p)
 
 
 def test_native_scan_split_truncation_detected():
@@ -170,14 +222,17 @@ def test_native_scan_split_spec_matches_serial():
         dest, _ = native_entropy.destuff_segments(scan)
         total, _sp = native_entropy._blocks_sp(jpeg, scan)
         for every in (1, 16, 257):
-            a = native_entropy.scan_split_buf(
+            a, a_dc = native_entropy.scan_split_buf(
                 dest, jpeg, scan, total, every, n_threads=1
             )
-            b = native_entropy.scan_split_buf(
+            b, b_dc = native_entropy.scan_split_buf(
                 dest, jpeg, scan, total, every, n_threads=4
             )
             np.testing.assert_array_equal(
                 a, b, err_msg=f"case {ci} every {every}"
+            )
+            np.testing.assert_array_equal(
+                a_dc, b_dc, err_msg=f"case {ci} every {every} (dc)"
             )
 
 
@@ -217,4 +272,9 @@ def test_native_scan_split_spec_error_parity():
             b, spec_err = None, type(e)
         assert serial_err is spec_err, f"trial {trial}"
         if a is not None:
-            np.testing.assert_array_equal(a, b, err_msg=f"trial {trial}")
+            np.testing.assert_array_equal(
+                a[0], b[0], err_msg=f"trial {trial}"
+            )
+            np.testing.assert_array_equal(
+                a[1], b[1], err_msg=f"trial {trial} (dc)"
+            )

@@ -310,3 +310,46 @@ def test_huge_restart_interval_full_decode_via_engine():
     )
     assert st.entropy_engine == "wavefront"
     np.testing.assert_array_equal(np.asarray(img), pil_decode(data))
+
+
+def test_norst_fused_rgb_matches_pil():
+    """DC-PRIMED fused pixels path for marker-free streams: the host
+    skeleton scan supplies each lane's absolute DC predictors
+    (plan.lane_dc0), so the wavefront+IDCT+upsample+color chain runs on
+    a stream with no restart markers at all — bit-exact vs PIL."""
+    for kw in (dict(subsampling=2), dict(subsampling=1),
+               dict(subsampling=0), dict(mode="L")):
+        data = make_jpeg(168, 120, seed=21, **kw)
+        jpeg = bitstream.parse(data)
+        assert len(jpeg.scans[0].rst_offsets) == 0
+        plan = wp.build_norst_plan(jpeg)
+        assert plan.lane_dc0 is not None and plan.n_lanes > 1
+        rgb = wp.decode_norst_to_rgb(jpeg)
+        np.testing.assert_array_equal(
+            np.asarray(rgb), pil_decode(data), err_msg=str(kw)
+        )
+
+
+def test_norst_fused_rgb_oversize_dri_segments():
+    """Restart-segmented stream whose segments exceed the VMEM row cap
+    takes the same fused path: sub-split lanes, predictors primed with
+    per-marker-segment resets."""
+    data = make_jpeg(512, 256, seed=22, subsampling=2, restart_blocks=192)
+    jpeg = bitstream.parse(data)
+    assert len(jpeg.scans[0].rst_offsets) >= 1
+    rgb = wp.decode_norst_to_rgb(jpeg)
+    np.testing.assert_array_equal(np.asarray(rgb), pil_decode(data))
+
+
+def test_norst_fused_rgb_packed16():
+    data = make_jpeg(128, 96, seed=23, subsampling=2)
+    jpeg = bitstream.parse(data)
+    out = wp.decode_norst_to_rgb(jpeg, packed=True)
+    want = pil_decode(data)
+    got = (
+        np.asarray(out)
+        .view(np.uint8)
+        .reshape(3, want.shape[0], want.shape[1])
+        .transpose(1, 2, 0)
+    )
+    np.testing.assert_array_equal(got, want)

@@ -84,8 +84,22 @@ def main() -> int:
         result["checks"]["coeff_engine"] = st.entropy_engine
         return np.array_equal(np.asarray(img), oracle[0])
 
+    def norst():
+        # Marker-free stream through the DC-primed fused pixels path
+        # (skeleton-split lanes, lane_dc0 priming, full fused chain).
+        from tpujpeg import bitstream
+        from tpujpeg.kernels import wavefront_pallas as wp
+
+        data = make_jpeg(512, 512, seed=3, quality=85, subsampling=2)
+        ref = np.asarray(Image.open(io.BytesIO(data)))
+        jpeg = bitstream.parse(data)
+        assert len(jpeg.scans[0].rst_offsets) == 0
+        rgb = wp.decode_norst_to_rgb(jpeg)
+        return np.array_equal(np.asarray(rgb), ref)
+
     check("fused_batch_decode", fused)
     check("coeff_mode_decode", coeff)
+    check("norst_fused_decode", norst)
 
     line = json.dumps(result)
     print(line)

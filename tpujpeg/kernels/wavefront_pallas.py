@@ -240,6 +240,12 @@ class BlockPlan:
     # No-restart plans only: starting bit of each lane within its word
     # row (lanes split at skeleton-scan bit offsets), and MCUs per lane.
     bit0: Optional[np.ndarray] = None  # int32[G, 8, K]
+    # No-restart plans only: ABSOLUTE DC predictor value per component
+    # at each lane's first MCU, computed by the host skeleton scan. The
+    # kernel primes pred_ref with it, so lanes decode TRUE DCs — the
+    # fused pixels emit (IDCT in-kernel) works and coeff mode needs no
+    # post-hoc prefix fixup.
+    lane_dc0: Optional[np.ndarray] = None  # int32[G, 4, 8, K]
     norst_every: int = 0
     # Marker-segment id per lane + first lane of each marker segment:
     # DC predictors reset at marker boundaries, so the prefix fixup is a
@@ -645,7 +651,7 @@ def _make_kernel(plan_static):
                     b_pos.append((sp, dv, dh))
         assert len(b_pos) == B, (len(b_pos), B)
 
-    def kernel(lane_m_ref, bits_ref, lane_q_ref, bit0_ref, outs,
+    def kernel(lane_m_ref, bits_ref, lane_q_ref, bit0_ref, dc0_ref, outs,
                err_ref, cur_ref, end_ref, pred_ref, err_acc_ref,
                w0_ref, w1_ref, acc_ref, k_ref):
         m = pl.program_id(1)
@@ -666,7 +672,11 @@ def _make_kernel(plan_static):
             # skeleton-scan bit positions.
             c0 = bit0_ref[0]
             cur_ref[:] = c0
-            pred_ref[:] = jnp.zeros((4, SUBLANES, K), jnp.int32)
+            # dc0: zero for restart segments (T.81 predictor reset at
+            # markers); the host skeleton scan's absolute predictor for
+            # no-restart lanes split mid-stream — primed lanes decode
+            # TRUE DCs, so fused IDCT needs no post-hoc fixup.
+            pred_ref[:] = dc0_ref[0]
             err_acc_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
             w0_ref[:] = _load_word(bits, c0 >> 5, W)
             w1_ref[:] = _load_word(bits, (c0 >> 5) + 1, W)
@@ -866,7 +876,7 @@ def _make_kernel(plan_static):
 )
 def run_wavefront(
     bits, lane_m, seg_bits, plan_static, n_groups: int, interpret: bool,
-    lane_qset=None, bit0=None,
+    lane_qset=None, bit0=None, dc0=None,
 ):
     """Returns (out, err). emit='coeff': out is one int32 array
     [G, M, B, 64, 8, K]. emit='pixels': out is a TUPLE of per-scan-
@@ -883,19 +893,21 @@ def run_wavefront(
         lane_qset = jnp.zeros((n_groups, SUBLANES, K), jnp.int32)
     if bit0 is None:
         bit0 = jnp.zeros((n_groups, SUBLANES, K), jnp.int32)
+    if dc0 is None:
+        dc0 = jnp.zeros((n_groups, 4, SUBLANES, K), jnp.int32)
 
     n_out = len(comp_hv) if emit == "pixels" else 1
 
     def kernel(lane_m_ref, bits_ref, end_ref, lane_q_ref, bit0_ref,
-               *rest):
+               dc0_ref, *rest):
         outs = rest[:n_out]
         err_ref = rest[n_out]
         (cur_ref, pred_ref, err_acc_ref, w0_ref, w1_ref,
          acc_ref, k_ref) = rest[n_out + 1 :]
         base(
-            lane_m_ref, bits_ref, lane_q_ref, bit0_ref, outs, err_ref,
-            cur_ref, end_ref, pred_ref, err_acc_ref, w0_ref, w1_ref,
-            acc_ref, k_ref,
+            lane_m_ref, bits_ref, lane_q_ref, bit0_ref, dc0_ref, outs,
+            err_ref, cur_ref, end_ref, pred_ref, err_acc_ref, w0_ref,
+            w1_ref, acc_ref, k_ref,
         )
 
     lane_spec = pl.BlockSpec(
@@ -943,6 +955,10 @@ def run_wavefront(
             lane_spec,
             lane_spec,
             lane_spec,
+            pl.BlockSpec(
+                (1, 4, SUBLANES, K), lambda g, m: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=out_specs + (lane_spec,),
         out_shape=out_shapes
@@ -958,7 +974,7 @@ def run_wavefront(
             pltpu.VMEM((SUBLANES, K), jnp.int32),      # AC k index
         ],
         interpret=interpret,
-    )(lane_m, bits, seg_bits, lane_qset, bit0)
+    )(lane_m, bits, seg_bits, lane_qset, bit0, dc0)
     err = res[-1]
     if emit == "coeff":
         return res[0], err
@@ -1395,10 +1411,24 @@ def _rgb_chain(plan: BlockPlan, jpegs, config, interpret: bool,
                packed: bool = False):
     """packed: emit the color kernels' column-packed planar uint16
     (bytes = the u8 raster; see pipeline.packed_layout_applies) —
-    callers must have checked the predicate themselves."""
+    callers must have checked the predicate themselves.
+
+    No-restart plans (plan.bit0 set — lanes split at skeleton-scan bit
+    offsets with DC-primed predictors) run the SAME fused chain; the
+    jitted fn then takes two extra args (bit0, dc0) and assembly treats
+    `norst_every` MCUs per lane as the effective restart interval."""
     from . import pipeline as kernel_pipeline
 
-    geoms = tuple(ImageGeom.of(j) for j in jpegs)
+    norst = plan.bit0 is not None
+    if norst:
+        geoms = tuple(
+            dataclasses.replace(
+                ImageGeom.of(j), restart_interval=plan.norst_every
+            )
+            for j in jpegs
+        )
+    else:
+        geoms = tuple(ImageGeom.of(j) for j in jpegs)
     frame = geoms[0].frame
     color = bitstream.color_space(jpegs[0])
     shape = (plan.blocks_per_mcu, plan.n_mcus, plan.n_groups)
@@ -1415,18 +1445,17 @@ def _rgb_chain(plan: BlockPlan, jpegs, config, interpret: bool,
             (g.interleaved, g.comp_indices, g.restart_interval)
             for g in geoms
         ),
-        plan.img_qset,
+        plan.img_qset, norst,
         config.fancy_upsampling, interpret, color, packed,
     )
     fn = _CHAIN_CACHE.get(key)
     if fn is None:
         n_groups = plan.n_groups
 
-        @jax.jit
-        def fn(bits, lane_m, seg_bits, lane_qset):
+        def run(bits, lane_m, seg_bits, lane_qset, bit0=None, dc0=None):
             out, err = run_wavefront(
                 bits, lane_m, seg_bits, plan_static, n_groups, interpret,
-                lane_qset,
+                lane_qset, bit0=bit0, dc0=dc0,
             )
             stacked = assemble_pixels_stacked(shape, out, geoms)
             if frame.height * frame.width > 100_000_000:
@@ -1441,6 +1470,7 @@ def _rgb_chain(plan: BlockPlan, jpegs, config, interpret: bool,
             )
             return rgb, err
 
+        fn = jax.jit(run)
         _CHAIN_CACHE[key] = fn
         while len(_CHAIN_CACHE) > _CHAIN_CACHE_MAX:
             _CHAIN_CACHE.popitem(last=False)
@@ -1490,7 +1520,10 @@ def decode_batch_to_rgb(
 
 
 def _skeleton_walk_py(dest: bytes, jpeg, scan, total: int, every: int):
-    """Pure-python skeleton walk over one destuffed (sub-)buffer."""
+    """Pure-python skeleton walk over one destuffed (sub-)buffer.
+    Returns (offs_i64, dcs_i32): bit offsets of every `every`-th MCU plus
+    the total, and the DC predictor value per scan component at each of
+    those points (the per-lane priming for the fused pixels kernel)."""
     from .. import huffman as hf
 
     tbls = hf.build_tables(scan.huff)
@@ -1502,18 +1535,21 @@ def _skeleton_walk_py(dest: bytes, jpeg, scan, total: int, every: int):
             sps += [p] * (c.h * c.v)
     else:
         sps = [0]
-    dcs = [tbls[(0, scan.dc_ids[p])] for p in range(scan.n_comps)]
+    dcts = [tbls[(0, scan.dc_ids[p])] for p in range(scan.n_comps)]
     acs = [tbls[(1, scan.ac_ids[p])] for p in range(scan.n_comps)]
     r = hf.BitReader(bytes(dest))
     offs = []
+    dcs = []
+    pred = [0] * scan.n_comps
     for m in range(total):
         if m % every == 0:
             offs.append(r.pos * 8 + r.pad_bits - r.cnt)
+            dcs.append(list(pred))
         for sp in sps:
-            t = hf.decode_symbol(r, dcs[sp])
+            t = hf.decode_symbol(r, dcts[sp])
             if t > 15:
                 raise JpegHuffmanError("bad DC size")
-            r.receive(t)
+            pred[sp] += hf.extend(r.receive(t), t)
             k = 1
             while k < 64:
                 rs = hf.decode_symbol(r, acs[sp])
@@ -1529,18 +1565,25 @@ def _skeleton_walk_py(dest: bytes, jpeg, scan, total: int, every: int):
                 r.receive(size)
                 k += 1
     offs.append(r.pos * 8 + r.pad_bits - r.cnt)
+    dcs.append(list(pred))
     if r.overrun():
         raise JpegTruncatedError("entropy stream truncated")
-    return np.asarray(offs, np.int64)
+    return (
+        np.asarray(offs, np.int64),
+        np.asarray(dcs, np.int32).reshape(len(offs), scan.n_comps),
+    )
 
 
 def _scan_split_host(jpeg, scan, every: int):
     """Skeleton scan of EVERY restart segment (or of the single
     marker-free stream), native with a pure-python fallback. Returns
     (destuffed uint8 array, int64 ABSOLUTE bit offsets [n_lanes+1],
-    first-lane index of each marker segment). Lane boundaries fall at
-    every `every` MCUs within a marker segment and always at marker
-    boundaries (the caller picks `every` dividing the DRI)."""
+    first-lane index of each marker segment, int32 per-lane DC
+    predictors [n_lanes, n_scan_comps] — the value of each scan
+    component's predictor at the lane's first MCU, resetting to zero at
+    marker boundaries per T.81). Lane boundaries fall at every `every`
+    MCUs within a marker segment and always at marker boundaries (the
+    caller picks `every` dividing the DRI)."""
     from ..errors import JpegError as _JE
 
     frame = jpeg.frame
@@ -1571,6 +1614,7 @@ def _scan_split_host(jpeg, scan, every: int):
         dest = np.frombuffer(b"".join(bytes(p) for p in pieces), np.uint8)
 
     offs_all = []
+    dcs_all = []
     seg_first = []
     lane0 = 0
     mcu = 0
@@ -1581,17 +1625,21 @@ def _scan_split_host(jpeg, scan, every: int):
         s1 = int(seg_starts[si + 1])
         sub = dest[s0:s1]
         if native is not None:
-            offs = native.scan_split_buf(sub, jpeg, scan, n_m, every)
+            offs, dcs = native.scan_split_buf(sub, jpeg, scan, n_m, every)
         else:
-            offs = _skeleton_walk_py(bytes(sub), jpeg, scan, n_m, every)
+            offs, dcs = _skeleton_walk_py(
+                bytes(sub), jpeg, scan, n_m, every
+            )
         seg_first.append(lane0)
         lane0 += len(offs) - 1
         offs_all.append(offs[:-1] + s0 * 8)
+        dcs_all.append(dcs[:-1])
         last_end = offs[-1] + s0 * 8
         mcu += n_m
         si += 1
     offs_flat = np.concatenate(offs_all + [[last_end]])
-    return dest, offs_flat, np.asarray(seg_first, np.int64)
+    dcs_flat = np.concatenate(dcs_all)
+    return dest, offs_flat, np.asarray(seg_first, np.int64), dcs_flat
 
 
 def build_norst_plan(
@@ -1603,9 +1651,12 @@ def build_norst_plan(
     VMEM row cap (huge DRIs). `every` is snapped to a divisor of the
     restart interval so every lane covers exactly `every` MCUs (only the
     stream's final lane is short), keeping assembly reshape-only. Lanes
-    start mid-word (plan.bit0) and carry local predictors; callers must
-    run the DC prefix fixup (predictors reset at marker boundaries —
-    lane_seg in lane_meta column 3 marks each lane's marker segment)."""
+    start mid-word (plan.bit0) with predictors PRIMED to the skeleton
+    scan's absolute DC values (plan.lane_dc0, resetting at marker
+    boundaries per T.81) — the kernel emits true DCs directly, so both
+    coeff and fused-pixels emit work with no post-hoc prefix fixup.
+    (decode_norst_sharded instead keeps local predictors + the ICI
+    dc_prefix_fixup collective, ignoring lane_dc0.)"""
     frame = jpeg.frame
     if frame.progressive:
         raise JpegUnsupportedError("pallas wavefront: baseline only")
@@ -1639,10 +1690,10 @@ def build_norst_plan(
         every = max(1, (MAX_WORDS * 32 // 2) // avg_bits)
     every = snap_divisor(every)
 
-    dest = offs = seg_first = None
+    dest = offs = seg_first = dcs = None
     W = MAX_WORDS + 1
     for _ in range(6):
-        dest, offs, seg_first = _scan_split_host(jpeg, scan, every)
+        dest, offs, seg_first, dcs = _scan_split_host(jpeg, scan, every)
         start_words = (offs[:-1] >> 5).astype(np.int64)
         end_rel = offs[1:] - (start_words << 5)
         W = int(-(-int(end_rel.max()) // 32)) + 1
@@ -1684,6 +1735,17 @@ def build_norst_plan(
     seg_bits[:L] = end_rel.astype(np.int32)
     bit0 = np.zeros(G * LANE_GROUP, np.int32)
     bit0[:L] = (offs[:-1] - (start_words << 5)).astype(np.int32)
+    # Per-lane DC predictor priming, spread from scan-component order to
+    # the kernel's pred_ref component-index rows.
+    dc0 = np.zeros((G * LANE_GROUP, 4), np.int32)
+    prime_cis = (
+        scan.comp_indices if scan.interleaved else scan.comp_indices[:1]
+    )
+    for p, ci in enumerate(prime_cis):
+        dc0[:L, ci] = dcs[:, p]
+    lane_dc0 = np.ascontiguousarray(
+        dc0.reshape(G, SUBLANES, K, 4).transpose(0, 3, 1, 2)
+    )
 
     fm = np.arange(L, dtype=np.int64) * every
     nm = np.minimum(every, total_mcus - fm).astype(np.int32)
@@ -1744,6 +1806,7 @@ def build_norst_plan(
         img_qset=(0,),
         lane_qset=np.zeros((G, SUBLANES, K), np.int32),
         bit0=bit0.reshape(G, SUBLANES, K),
+        lane_dc0=lane_dc0,
         norst_every=every,
         lane_seg=(fm // ri).astype(np.int64),
         seg_first=seg_first,
@@ -1874,23 +1937,22 @@ def _norst_chain(plan: BlockPlan, jpeg, interpret: bool):
     G, M, W = plan.n_groups, plan.n_mcus, plan.n_words
     B = plan.blocks_per_mcu
     n_lanes, rows = plan.n_lanes, plan.norst_every
-    blk_tables = plan.blk_tables
     plan_static = plan.static_key("coeff")
     lg = plan.lane_group
 
-    def run(bits, lane_m, seg_bits, bit0, lane_mm, lane_seg, seg_first):
+    def run(bits, lane_m, seg_bits, bit0, dc0):
+        # dc0 primes each lane's predictors with the skeleton scan's
+        # absolute values: the kernel writes TRUE DCs directly, no
+        # post-hoc prefix fixup pass.
         out, err = run_wavefront(
-            bits, lane_m, seg_bits, plan_static, G, interpret, bit0=bit0
+            bits, lane_m, seg_bits, plan_static, G, interpret, bit0=bit0,
+            dc0=dc0,
         )
         flat = (
             out.reshape(G, M * B * 64, SUBLANES, lg // SUBLANES)
             .transpose(0, 2, 3, 1)
             .reshape(G * lg, M, B, 64)
         )[:n_lanes]
-        flat = _norst_dc_add(
-            flat, lane_mm, blk_tables, lane_seg=lane_seg,
-            seg_first=seg_first,
-        )
         return _norst_assemble_g(geom, B, rows, M, flat), err
 
     fn = jax.jit(run)
@@ -1906,24 +1968,56 @@ def decode_norst_to_device(
     every: int = 0,
 ) -> List[jnp.ndarray]:
     """Device entropy decode of a no-restart baseline scan: skeleton
-    scan -> lanes at bit offsets -> wavefront kernel with local
-    predictors -> exclusive-prefix DC fixup -> assembled coefficient
-    grids (device-resident). Raises on data errors (strict)."""
+    scan -> lanes at bit offsets with DC-primed predictors -> wavefront
+    kernel -> assembled coefficient grids (device-resident). Raises on
+    data errors (strict)."""
     plan = build_norst_plan(jpeg, every)
     interpret = jax.default_backend() != "tpu"
     fn = _norst_chain(plan, jpeg, interpret)
     coeffs, err = fn(
         jnp.asarray(plan.bits), jnp.asarray(plan.lane_m),
         jnp.asarray(plan.seg_bits), jnp.asarray(plan.bit0),
-        jnp.asarray(plan.lane_meta[:, 2]),
-        jnp.asarray(np.asarray(plan.lane_seg, np.int32)),
-        jnp.asarray(np.asarray(plan.seg_first, np.int32)),
+        jnp.asarray(plan.lane_dc0),
     )
     errs = np.asarray(err).reshape(-1)[: plan.n_lanes]
     failures = failures_from_err(errs, plan.lane_meta)
     if failures:
         raise failures[min(failures)]
     return coeffs
+
+
+def decode_norst_to_rgb(
+    jpeg: bitstream.JpegData,
+    config: DecodeConfig = DEFAULT_CONFIG,
+    every: int = 0,
+    packed: bool = False,
+):
+    """FUSED decode of a no-restart (or oversize-DRI) baseline scan:
+    skeleton-split lanes with DC-PRIMED predictors run the same
+    wavefront+IDCT+upsample+color chain as restart-segmented streams —
+    marker-free images get the full speed-of-light pixels path instead
+    of dropping to coeff mode + separate transform. Returns a
+    device-resident [H, W, 3]/[H, W] raster (or, with packed=True on an
+    applicable layout, the planar column-packed uint16 [3, H, W//2]
+    whose bytes are the u8 raster). Raises on data errors (strict)."""
+    plan = build_norst_plan(jpeg, every)
+    if not plan.qsets:
+        raise JpegUnsupportedError("too many quantizer sets")
+    interpret = jax.default_backend() != "tpu"
+    fn = _rgb_chain(plan, [jpeg], config, interpret, packed=packed)
+    rgb, err = fn(
+        jnp.asarray(plan.bits),
+        jnp.asarray(plan.lane_m),
+        jnp.asarray(plan.seg_bits),
+        jnp.asarray(plan.lane_qset),
+        jnp.asarray(plan.bit0),
+        jnp.asarray(plan.lane_dc0),
+    )
+    errs = np.asarray(err).reshape(-1)[: plan.n_lanes]
+    failures = failures_from_err(errs, plan.lane_meta)
+    if failures:
+        raise failures[min(failures)]
+    return rgb[0]
 
 
 def decode_norst_sharded(

@@ -107,6 +107,7 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int64,                   # total_mcus
             ctypes.c_int64,                   # every
             ctypes.POINTER(ctypes.c_int64),   # bit_offs
+            ctypes.POINTER(ctypes.c_int32),   # dc_out (per-lane DC preds)
             ctypes.c_char_p,                  # err_msg
             ctypes.c_int,                     # err_len
         ]
@@ -122,6 +123,7 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int64,                   # total_mcus
             ctypes.c_int64,                   # every
             ctypes.POINTER(ctypes.c_int64),   # bit_offs
+            ctypes.POINTER(ctypes.c_int32),   # dc_out (per-lane DC preds)
             ctypes.c_int,                     # n_threads
             ctypes.c_char_p,                  # err_msg
             ctypes.c_int,                     # err_len

@@ -198,18 +198,22 @@ static inline int huff_decode(BitReader& br, const HuffTbl& t, ErrState& err) {
 }
 
 // One block of the SKELETON walk (symbol lengths only, no coefficient
-// stores): the shared step of tj_scan_split and its speculative
-// parallel variant. Leaves err set on bad DC size / AC overrun /
-// invalid code.
+// stores — except the DC PREDICTOR, which rides along for free: the
+// diff bits are already read to advance the cursor, and EXTEND is three
+// ops. Per-lane starting predictors let the fused pixels kernel decode
+// skeleton-split lanes with true DCs, no post-hoc prefix fixup): the
+// shared step of tj_scan_split and its speculative parallel variant.
+// Leaves err set on bad DC size / AC overrun / invalid code.
 static inline void skeleton_block(BitReader& br, const HuffTbl& dc,
-                                  const HuffTbl& ac, ErrState& err) {
+                                  const HuffTbl& ac, ErrState& err,
+                                  int32_t* pred) {
   int t = huff_decode(br, dc, err);
   if (t < 0) return;
   if (t > 15) {
     err.set(ERR_HUFFMAN, "bad DC size");
     return;
   }
-  br.receive(t);
+  *pred += extend(br.receive(t), t);
   int k = 1;
   while (k < 64) {
     int rs = huff_decode(br, ac, err);
@@ -810,12 +814,16 @@ int tj_destuff_rows(const uint8_t* scan_data, int64_t scan_len,
 // (halo.dc_prefix_fixup across shards).
 //
 // bit_offs must hold ceil(total_mcus/every)+1 entries; the last entry
-// gets the total bits consumed. Returns ErrCode.
+// gets the total bits consumed. dc_out (same entry count, n_scan_comps
+// int32 each) receives the DC predictor values at each recorded MCU
+// start — the per-lane priming that lets the fused pixels kernel skip
+// the device-side DC prefix fixup. Returns ErrCode.
 int tj_scan_split(const uint8_t* destuffed, int64_t dlen,
                   const int32_t* scan_p, const uint8_t* hspec,
                   const int32_t* blocks_sp,  // per-MCU block -> scan comp
                   int n_blocks, int64_t total_mcus, int64_t every,
-                  int64_t* bit_offs, char* err_msg, int err_len) {
+                  int64_t* bit_offs, int32_t* dc_out,
+                  char* err_msg, int err_len) {
   ErrState err;
   ScanDesc s = unpack_scan(scan_p);
   HuffTbl tbls[8];
@@ -838,16 +846,28 @@ int tj_scan_split(const uint8_t* destuffed, int64_t dlen,
 
   BitReader br(destuffed, static_cast<size_t>(dlen));
   int64_t oi = 0;
+  int32_t pred[kMaxComps] = {0, 0, 0, 0};
   for (int64_t m = 0; m < total_mcus; m++) {
     if (m % every == 0) {
+      if (dc_out) {
+        for (int p = 0; p < s.n_scan_comps; p++) {
+          dc_out[oi * s.n_scan_comps + p] = pred[p];
+        }
+      }
       bit_offs[oi++] =
           static_cast<int64_t>(br.pos) * 8 + br.fed_pad_bits - br.cnt;
     }
     for (int b = 0; b < n_blocks; b++) {
-      skeleton_block(br, *dc_tbl[blocks_sp[b]], *ac_tbl[blocks_sp[b]], err);
+      skeleton_block(br, *dc_tbl[blocks_sp[b]], *ac_tbl[blocks_sp[b]], err,
+                     &pred[blocks_sp[b]]);
       if (err.code.load(std::memory_order_relaxed) != OK) break;
     }
     if (err.code.load(std::memory_order_relaxed) != OK) break;
+  }
+  if (dc_out) {
+    for (int p = 0; p < s.n_scan_comps; p++) {
+      dc_out[oi * s.n_scan_comps + p] = pred[p];
+    }
   }
   bit_offs[oi] =
       static_cast<int64_t>(br.pos) * 8 + br.fed_pad_bits - br.cnt;
@@ -901,7 +921,7 @@ int tj_scan_split_spec(const uint8_t* destuffed, int64_t dlen,
                        const int32_t* scan_p, const uint8_t* hspec,
                        const int32_t* blocks_sp, int n_blocks,
                        int64_t total_mcus, int64_t every,
-                       int64_t* bit_offs, int n_threads,
+                       int64_t* bit_offs, int32_t* dc_out, int n_threads,
                        char* err_msg, int err_len) {
   ErrState err;
   ScanDesc s = unpack_scan(scan_p);
@@ -941,9 +961,17 @@ int tj_scan_split_spec(const uint8_t* destuffed, int64_t dlen,
   // the sync distance (typically well under a KB of stream).
   const int64_t kOverlapBits = (64 << 10) * 8;  // 64 KB
   std::vector<std::vector<int64_t>> recs(n_chunks);
+  // Per-record DC predictor values (n_scan_comps per record), RELATIVE
+  // to the worker run's start (where the worker assumed pred = 0). A
+  // record run is a deterministic decode continuation from its attach
+  // point, so relative DC deltas from the attach record onward are
+  // exact even though the run's absolute base is unknown to the worker.
+  const int nc = s.n_scan_comps;
+  std::vector<std::vector<int32_t>> recs_dc(n_chunks);
 
   auto worker = [&](int64_t c) {
     std::vector<int64_t>& out = recs[c];
+    std::vector<int32_t>& odc = recs_dc[c];
     const int64_t end_bits =
         std::min<int64_t>(chunk_start[c + 1] * 8 + kOverlapBits, dlen * 8);
     // Record capacity bound: one MCU start per two stream bytes is
@@ -955,17 +983,20 @@ int tj_scan_split_spec(const uint8_t* destuffed, int64_t dlen,
     int64_t start_byte = chunk_start[c];
     while (true) {  // resync attempts: advance one byte per retry
       out.clear();
+      odc.clear();
       BitReader br(destuffed, static_cast<size_t>(dlen));
       br.pos = static_cast<size_t>(start_byte);
       ErrState werr;
+      int32_t pred[kMaxComps] = {0, 0, 0, 0};
       while (true) {
         int64_t bit =
             static_cast<int64_t>(br.pos) * 8 + br.fed_pad_bits - br.cnt;
         out.push_back(bit);
+        for (int p = 0; p < nc; p++) odc.push_back(pred[p]);
         if (bit >= end_bits || out.size() > cap) return;  // run closed
         for (int b = 0; b < n_blocks; b++) {
           skeleton_block(br, *dc_tbl[blocks_sp[b]], *ac_tbl[blocks_sp[b]],
-                         werr);
+                         werr, &pred[blocks_sp[b]]);
           if (werr.code.load(std::memory_order_relaxed) != OK) break;
         }
         if (werr.code.load(std::memory_order_relaxed) != OK) {
@@ -975,6 +1006,7 @@ int tj_scan_split_spec(const uint8_t* destuffed, int64_t dlen,
             start_byte += 1;
             if (start_byte * 8 < chunk_start[c + 1] * 8) break;  // retry
             out.clear();
+            odc.clear();
             return;
           }
           // Error after records began: the run up to here is a valid
@@ -1014,9 +1046,15 @@ int tj_scan_split_spec(const uint8_t* destuffed, int64_t dlen,
   bool reader_live = true;  // br matches the current bit position
   int64_t bit = 0;
   int64_t c_at = 0;  // chunk owning `bit`
+  int32_t pred[kMaxComps] = {0, 0, 0, 0};  // exact absolute predictors
 
-  auto emit = [&](int64_t at_bit) {
-    if (m % every == 0) bit_offs[oi++] = at_bit;
+  auto emit = [&](int64_t at_bit, const int32_t* dcvals) {
+    if (m % every == 0) {
+      if (dc_out) {
+        for (int p = 0; p < nc; p++) dc_out[oi * nc + p] = dcvals[p];
+      }
+      bit_offs[oi++] = at_bit;
+    }
   };
 
   while (m < total_mcus && err.code.load(std::memory_order_relaxed) == OK) {
@@ -1025,14 +1063,25 @@ int tj_scan_split_spec(const uint8_t* destuffed, int64_t dlen,
     auto it = std::lower_bound(r.begin(), r.end(), bit);
     if (it != r.end() && *it == bit && it + 1 != r.end()) {
       // Teleport: consume the run (all but its closing record, which
-      // only marks where the worker stopped decoding).
+      // only marks where the worker stopped decoding). The stitch holds
+      // exact absolute predictors at the attach point; the worker's
+      // records hold run-relative values, so base + (rel - rel_attach)
+      // is exact for every later record of the run (determinism).
       size_t i = static_cast<size_t>(it - r.begin());
+      const std::vector<int32_t>& rdc = recs_dc[c_at];
+      int32_t base[kMaxComps] = {0, 0, 0, 0};
+      for (int p = 0; p < nc; p++) {
+        base[p] = pred[p] - rdc[i * nc + p];
+      }
+      int32_t cur_dc[kMaxComps];
       while (m < total_mcus && i + 1 < r.size()) {
-        emit(r[i]);
+        for (int p = 0; p < nc; p++) cur_dc[p] = base[p] + rdc[i * nc + p];
+        emit(r[i], cur_dc);
         m++;
         i++;
       }
       bit = r[i];
+      for (int p = 0; p < nc; p++) pred[p] = base[p] + rdc[i * nc + p];
       reader_live = false;
       continue;
     }
@@ -1043,9 +1092,10 @@ int tj_scan_split_spec(const uint8_t* destuffed, int64_t dlen,
       br.receive(static_cast<int>(bit & 7));
       reader_live = true;
     }
-    emit(bit);
+    emit(bit, pred);
     for (int b = 0; b < n_blocks; b++) {
-      skeleton_block(br, *dc_tbl[blocks_sp[b]], *ac_tbl[blocks_sp[b]], err);
+      skeleton_block(br, *dc_tbl[blocks_sp[b]], *ac_tbl[blocks_sp[b]], err,
+                     &pred[blocks_sp[b]]);
       if (err.code.load(std::memory_order_relaxed) != OK) break;
     }
     if (err.code.load(std::memory_order_relaxed) != OK) break;
@@ -1053,6 +1103,9 @@ int tj_scan_split_spec(const uint8_t* destuffed, int64_t dlen,
     bit = static_cast<int64_t>(br.pos) * 8 + br.fed_pad_bits - br.cnt;
   }
 
+  if (dc_out) {
+    for (int p = 0; p < nc; p++) dc_out[oi * nc + p] = pred[p];
+  }
   bit_offs[oi] = bit;
   if (err.code.load() == OK &&
       bit > static_cast<int64_t>(dlen) * 8) {

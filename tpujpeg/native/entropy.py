@@ -181,9 +181,12 @@ def scan_split_buf(
     n_threads: int = 0,
 ) -> np.ndarray:
     """Skeleton-scan `total_mcus` MCUs of a DESTUFFED buffer (symbol
-    lengths only, no coefficient stores), recording the bit offset of
-    every `every`-th MCU. Returns int64 offsets with
-    ceil(total/every)+1 entries, the last being total bits consumed.
+    lengths only, no coefficient stores), recording the bit offset AND
+    the DC predictor values at every `every`-th MCU. Returns
+    (offs_i64, dcs_i32): offs has ceil(total/every)+1 entries, the last
+    being total bits consumed; dcs is [n_entries, n_scan_comps] — the
+    per-lane predictor priming that lets the fused pixels kernel decode
+    skeleton lanes with true DCs (no device prefix fixup).
 
     Large buffers take the SPECULATIVE parallel walk (tj_scan_split_spec:
     workers decode from byte-aligned guesses, Huffman self-sync makes the
@@ -195,6 +198,7 @@ def scan_split_buf(
     bsp = np.asarray(blocks_sp, dtype=np.int32)
     n_off = -(-total_mcus // every) + 1
     offs = np.zeros(n_off, dtype=np.int64)
+    dcs = np.zeros((n_off, scan.n_comps), dtype=np.int32)
     err = ctypes.create_string_buffer(256)
     destuffed = np.ascontiguousarray(destuffed)
     if n_threads <= 0:
@@ -210,6 +214,7 @@ def scan_split_buf(
             total_mcus,
             every,
             offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            dcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             n_threads,
             err,
             256,
@@ -225,13 +230,14 @@ def scan_split_buf(
             total_mcus,
             every,
             offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            dcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             err,
             256,
         )
     if code != 0:
         exc = _ERR_MAP.get(code, JpegError)
         raise exc(err.value.decode("utf-8", "replace"))
-    return offs
+    return offs, dcs
 
 
 def scan_split(
@@ -243,10 +249,11 @@ def scan_split(
     that records the bit offset of every `every`-th MCU in the DESTUFFED
     stream — the serial prefix that turns a marker-free stream into
     wavefront lanes (SURVEY.md §5 long-context item 3). Returns
-    (destuffed_u8, bit_offs_i64)."""
+    (destuffed_u8, bit_offs_i64) — use scan_split_buf directly for the
+    per-lane DC predictors."""
     total, _sp = _blocks_sp(jpeg, scan)
     destuffed, _ = destuff_segments(scan)
-    return destuffed, scan_split_buf(destuffed, jpeg, scan, total, every)
+    return destuffed, scan_split_buf(destuffed, jpeg, scan, total, every)[0]
 
 
 def find_scan_end(data: bytes, start: int) -> Tuple[int, np.ndarray]:

@@ -146,3 +146,34 @@ def test_decode_sharded_huge_restart_interval():
     data = make_jpeg(160, 160, seed=41, subsampling=2, restart_blocks=200)
     out = halo.decode_sharded(data, n_shards=4)
     np.testing.assert_array_equal(out, pil_decode(data))
+
+
+def test_batch_on_device_norst_routes_fused_skeleton():
+    """Marker-free baseline images in decode_batch_on_device take the
+    per-image DC-primed fused chain (engine wavefront-skeleton) rather
+    than coeff mode + separate transform — and stay bit-exact."""
+    datas = [make_jpeg(256, 160, seed=s, subsampling=2) for s in (31, 32)]
+    res = tpujpeg.decode_batch_on_device(datas)
+    assert not res.errors
+    assert {s.entropy_engine for s in res.stats if s} == {
+        "wavefront-skeleton"
+    }
+    for i, d in enumerate(datas):
+        assert np.array_equal(np.asarray(res.images[i]), pil_decode(d))
+
+
+def test_batch_on_device_big_norst_progressive_host_fallback():
+    """A progressive scan with NO restart segmentation and an oversize
+    payload is outside the device scan kernels' scope: it must fall back
+    to host entropy inside decode_batch_on_device (valid files never
+    fail), bit-exact."""
+    data = make_jpeg(512, 384, seed=33, subsampling=2, progressive=True,
+               kind="noise")
+    from tpujpeg import bitstream
+
+    jpeg = bitstream.parse(data)
+    assert all(len(s.rst_offsets) == 0 for s in jpeg.scans)
+    assert any(len(s.data) > 2040 for s in jpeg.scans)
+    res = tpujpeg.decode_batch_on_device([data])
+    assert not res.errors, res.errors
+    assert np.array_equal(np.asarray(res.images[0]), pil_decode(data))

@@ -115,3 +115,14 @@ def test_stream_packed16_falls_back_to_nhwc_when_inapplicable():
     ch = next(iter(tpujpeg.decode_stream([d], layout="packed16")))
     assert ch.layout == "nhwc"
     assert np.array_equal(np.asarray(ch.images[0]), _pil(d))
+
+
+def test_stream_norst_chunk_uses_device_ladder():
+    """Marker-free streams reject the shared fused plan (oversize
+    segment), but the fallback is now the DEVICE ladder: per-image
+    DC-primed fused decode, not host entropy. Bit-exact either way."""
+    datas = [make_jpeg(256, 192, seed=s, subsampling=2) for s in range(2)]
+    res = tpujpeg.decode_batch_pipelined(datas, chunk_size=2)
+    assert not res.errors
+    for i, d in enumerate(datas):
+        assert np.array_equal(np.asarray(res.images[i]), _pil(d))

@@ -103,16 +103,36 @@ def decode_batch_on_device(
             groups.setdefault(key, []).append(i)
 
         def _prog_one(i: int) -> None:
+            from ..errors import JpegUnsupportedError
+
             j = jpegs[i]
             try:
                 state = wavefront_prog.decode_all_scans(j, config)
                 _prog_emit(i, state)
+                return
+            except JpegUnsupportedError:
+                pass  # host entropy below — valid files never fail here
+            except JpegError as e:
+                errors[i] = e
+                return
+            except Exception as e:
+                errors[i] = JpegError(f"internal decode failure: {e!r}")
+                return
+            try:
+                # Outside the device scan kernels' scope (e.g. a
+                # progressive scan with no restart segmentation and a
+                # VMEM-row-oversize payload): host entropy, device
+                # transform.
+                st0 = DecodeStats()
+                coeffs = _entropy_decode(j, config, st0)
+                _prog_emit(i, coeffs, engine=st0.entropy_engine)
             except JpegError as e:
                 errors[i] = e
             except Exception as e:
                 errors[i] = JpegError(f"internal decode failure: {e!r}")
 
-        def _prog_emit(i: int, state, out=None) -> None:
+        def _prog_emit(i: int, state, out=None,
+                       engine: str = "wavefront-prog") -> None:
             j = jpegs[i]
             frame = j.frame
             if out is None:
@@ -128,7 +148,7 @@ def decode_batch_on_device(
             st.width, st.height = frame.width, frame.height
             st.n_components = frame.n_components
             st.progressive = True
-            st.entropy_engine = "wavefront-prog"
+            st.entropy_engine = engine
             st.transform_engine = "pallas"
             stats[i] = st
 
@@ -221,25 +241,28 @@ def decode_batch_on_device(
         except JpegError:
             from ..errors import JpegUnsupportedError
 
-            # Per-image skeleton split: marker-free streams and oversize
-            # restart segments still decode on device (with the DC
-            # prefix fixup) before the slow XLA single-lane fallback.
-            coeffs_dev = []
-            failures = {}
-            engine = "wavefront-skeleton"
+            # Per-image skeleton split: marker-free streams, oversize
+            # restart segments and per-image Huffman tables still run
+            # the FULLY FUSED chain (DC-primed skeleton lanes,
+            # decode_norst_to_rgb) before the slow XLA single-lane
+            # fallback.
             try:
+                fused_failed: Dict[int, Exception] = {}
+                fused_imgs: Dict[int, object] = {}
                 for li, j in enumerate(sub):
                     try:
-                        coeffs_dev.append(
-                            wavefront_pallas.decode_norst_to_device(
-                                j, config
-                            )
+                        fused_imgs[li] = wavefront_pallas.decode_norst_to_rgb(
+                            j, config
                         )
                     except JpegUnsupportedError:
                         raise
                     except JpegError as e:
-                        coeffs_dev.append(None)
-                        failures[li] = e
+                        fused_failed[li] = e
+                for li, exc in fused_failed.items():
+                    errors[members[li]] = exc
+                for li, img in fused_imgs.items():
+                    record(members[li], img, "wavefront-skeleton")
+                continue
             except JpegUnsupportedError:
                 coeffs_dev, failures = wavefront.decode_batch_to_device(
                     sub, config, strict=False

@@ -38,7 +38,7 @@ from .. import bitstream
 from ..config import DEFAULT_CONFIG, DecodeConfig
 from ..errors import JpegError, JpegUnsupportedError
 from ..stats import DecodeStats
-from .batch import BatchResult, decode_batch
+from .batch import BatchResult, decode_batch, decode_batch_on_device
 
 
 @dataclasses.dataclass
@@ -152,9 +152,16 @@ def _sync(flight: _InFlight, config: DecodeConfig) -> StreamChunk:
     if unit.plan is None:
         images: List[Optional[object]] = [None] * len(unit.members)
         if unit.datas:
-            # Host-entropy fallback: handles progressive, mixed tables,
-            # oversize segments — everything the fused plan rejected.
-            res = decode_batch(unit.datas, config)
+            # Device fallback ladder: progressive scan kernels, coeff
+            # mode, per-image DC-primed fused decode (marker-free /
+            # oversize segments / per-image tables) — everything the
+            # shared fused plan rejected. Host entropy is the terminal
+            # safety net (the device ladder is strict where the host
+            # decoder is bulletproof per image).
+            try:
+                res = decode_batch_on_device(unit.datas, config)
+            except Exception:
+                res = decode_batch(unit.datas, config)
             for k, i in enumerate(unit.members):
                 if k in res.errors:
                     failures[i] = res.errors[k]

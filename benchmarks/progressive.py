@@ -83,13 +83,19 @@ def main():
     upload_s = time.perf_counter() - t0
 
     def chip_decode():
-        states, errs = fn(arrs, masks)
+        states, dcs, errs = fn(arrs, masks)
         qtabs = [jnp.asarray(jpegs[0].qtables[c.tq]) for c in frame.components]
         coeff_stack = [
             jnp.stack([states[i][ci] for i in range(batch)])
             for ci in range(frame.n_components)
         ]
-        rgb = kernel_pipeline.transform_batch(frame, coeff_stack, qtabs, cfg)
+        dc_stack = [
+            jnp.stack([dcs[i][ci] for i in range(batch)])
+            for ci in range(frame.n_components)
+        ]
+        rgb = kernel_pipeline.transform_batch(
+            frame, coeff_stack, qtabs, cfg, dcs=dc_stack
+        )
         return rgb, errs
 
     rgb, errs = chip_decode()

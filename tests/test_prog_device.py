@@ -38,9 +38,11 @@ def test_prog_device_matches_oracle(case):
     jpeg = bitstream.parse(data)
     assert jpeg.frame.progressive
     ref = huffman.decode_all_scans(jpeg)
-    got = wprog.decode_all_scans(jpeg)
-    for ci, (a, b) in enumerate(zip(ref, got)):
-        np.testing.assert_array_equal(a, np.asarray(b), err_msg=f"comp {ci}")
+    acs, dcs = wprog.decode_all_scans(jpeg)
+    for ci, (a, b, d) in enumerate(zip(ref, acs, dcs)):
+        merged = np.array(b)
+        merged[:, 0] = np.asarray(d)
+        np.testing.assert_array_equal(a, merged, err_msg=f"comp {ci}")
 
 
 def test_prog_device_scan_kinds_present():
@@ -87,10 +89,10 @@ def test_prog_device_corrupt_scan_raises_or_detects():
     s = jpeg.scans[2]
     s.data = bytes(len(s.data))
     try:
-        got = wprog.decode_all_scans(jpeg)
+        acs, dcs = wprog.decode_all_scans(jpeg)
         # All-zero bits can still be a decodable (wrong) stream; the
         # contract is defined behavior, not a mandatory error.
-        for g in got:
+        for g in list(acs) + list(dcs):
             np.asarray(g)
     except JpegError:
         pass
@@ -127,13 +129,15 @@ def test_prog_batch_matches_oracle_shared_tables():
                      restart_blocks=8)
     jpegs = [bitstream.parse(data) for _ in range(3)]
     assert len({wprog.scan_group_key(j) for j in jpegs}) == 1
-    states, failures = wprog.decode_all_scans_batch(jpegs)
+    states, dcs, failures = wprog.decode_all_scans_batch(jpegs)
     assert not failures
     ref = huffman.decode_all_scans(jpegs[0])
     for i in range(3):
-        for ci, (a, b) in enumerate(zip(ref, states[i])):
+        for ci, (a, b, d) in enumerate(zip(ref, states[i], dcs[i])):
+            merged = np.array(b)
+            merged[:, 0] = np.asarray(d)
             np.testing.assert_array_equal(
-                a, np.asarray(b), err_msg=f"img {i} comp {ci}"
+                a, merged, err_msg=f"img {i} comp {ci}"
             )
 
 

@@ -124,18 +124,25 @@ def main():
                 for c in frame.components
             ]
         ]
+        dcs = [
+            [
+                jnp.zeros((c.padded_hb * c.padded_wb,), jnp.int32)
+                for c in frame.components
+            ]
+        ]
         errs = []
         for k in range(n_scans):
             wprog.apply_scan_batch(
-                jpegs, k, states, interpret, plan=plans[k], errs_out=errs
+                jpegs, k, states, dcs, interpret, plan=plans[k],
+                errs_out=errs,
             )
-        return states[0], errs
+        return states[0], dcs[0], errs
 
-    state, errs = full_entropy()
+    state, dc, errs = full_entropy()
     for ci in range(frame.n_components):
         sync(state[ci])
     t0 = time.perf_counter()
-    state, errs = full_entropy()
+    state, dc, errs = full_entropy()
     for ci in range(frame.n_components):
         sync(state[ci])
     t_full = time.perf_counter() - t0
@@ -145,11 +152,11 @@ def main():
     fn, arrs, masks, kernel_plans = wprog.build_chain_inputs(jpegs, plans)
     arrs = jax.device_put(arrs)
     masks = jax.device_put(masks)
-    states2, errs2 = fn(arrs, masks)
+    states2, dcs2, errs2 = fn(arrs, masks)
     for ci in range(frame.n_components):
         sync(states2[0][ci])
     t0 = time.perf_counter()
-    states2, errs2 = fn(arrs, masks)
+    states2, dcs2, errs2 = fn(arrs, masks)
     for ci in range(frame.n_components):
         sync(states2[0][ci])
     t_chain = time.perf_counter() - t0
@@ -159,7 +166,8 @@ def main():
 
     def transform():
         return kernel_pipeline.transform_batch(
-            frame, [s[None] for s in state], qtabs, cfg
+            frame, [s[None] for s in state], qtabs, cfg,
+            dcs=[d[None] for d in dc],
         )
 
     rgb = transform()

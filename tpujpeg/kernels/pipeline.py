@@ -149,22 +149,29 @@ def _color_stage(frame, expansions, planes, fancy: bool, interpret: bool,
 
 @functools.lru_cache(maxsize=128)
 def _build_batch(key: Tuple, idct_variant: str, fancy: bool, interpret: bool,
-                 color: str):
-    """Jitted [N, ...]-batched transform for one frame geometry."""
+                 color: str, has_dc: bool = False):
+    """Jitted [N, ...]-batched transform for one frame geometry. With
+    has_dc, a separate per-block DC column rides in (the progressive
+    decoder keeps DC out of the [blocks, 64] state — see
+    wavefront_prog._scatter_dc_s) and merges here: in the islow path
+    the coefficient-major transpose already touches every element, so
+    replacing row 0 is free."""
     frame = _make_frame(key)
     expansions = [
         (frame.hmax // c.h, frame.vmax // c.v) for c in frame.components
     ]
 
-    def fn(coeffs: Sequence[jnp.ndarray], qtabs: Sequence[jnp.ndarray]):
+    def fn(coeffs: Sequence[jnp.ndarray], qtabs: Sequence[jnp.ndarray],
+           dcs=None):
         n = coeffs[0].shape[0]
         planes: List[jnp.ndarray] = []
         for ci, c in enumerate(frame.components):
             nb = c.padded_hb * c.padded_wb
             if idct_variant == "matmul":
-                samples = idct_k.dequant_idct_matmul(
-                    coeffs[ci].reshape(n * nb, 64), qtabs[ci]
-                )
+                flat = coeffs[ci].reshape(n * nb, 64)
+                if has_dc:
+                    flat = flat.at[:, 0].set(dcs[ci].reshape(n * nb))
+                samples = idct_k.dequant_idct_matmul(flat, qtabs[ci])
                 plane = T.blocks_to_plane(
                     samples, n * c.padded_hb, c.padded_wb
                 ).reshape(n, c.padded_hb * 8, c.padded_wb * 8)
@@ -172,6 +179,9 @@ def _build_batch(key: Tuple, idct_variant: str, fancy: bool, interpret: bool,
                 flat = coeffs[ci].reshape(n * nb, 64)
                 pad = (-(n * nb)) % idct_k.LANE_TILE
                 cm = jnp.pad(flat, ((0, pad), (0, 0))).T
+                if has_dc:
+                    dc_flat = jnp.pad(dcs[ci].reshape(n * nb), (0, pad))
+                    cm = cm.at[0].set(dc_flat)
                 out_cm = idct_k.dequant_idct_islow_cm(
                     cm, qtabs[ci], interpret=interpret
                 )
@@ -232,10 +242,12 @@ def transform_batch(
     qtabs: Sequence,
     config: DecodeConfig,
     color: str = None,
+    dcs: Sequence = None,
 ):
     """coeffs[ci]: int32[N, padded_blocks, 64] zigzag; qtabs[ci]:
-    int32[64]. Returns uint8[N, H, W, 3] (or [N, H, W] grayscale,
-    [N, H, W, 4] CMYK)."""
+    int32[64]; dcs[ci] (optional): int32[N, padded_blocks] DC columns
+    to merge into coefficient slot 0 (see _build_batch). Returns
+    uint8[N, H, W, 3] (or [N, H, W] grayscale, [N, H, W, 4] CMYK)."""
     key = (
         frame.height,
         frame.width,
@@ -245,11 +257,15 @@ def transform_batch(
         color = T.default_color(frame.n_components)
     interpret = jax.default_backend() != "tpu"
     fn = _build_batch(
-        key, config.idct, config.fancy_upsampling, interpret, color
+        key, config.idct, config.fancy_upsampling, interpret, color,
+        has_dc=dcs is not None,
     )
-    return fn(
+    args = (
         [jnp.asarray(c) for c in coeffs], [jnp.asarray(q) for q in qtabs]
     )
+    if dcs is None:
+        return fn(*args)
+    return fn(*args, [jnp.asarray(d) for d in dcs])
 
 
 def transform_frame(

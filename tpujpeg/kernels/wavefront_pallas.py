@@ -1162,9 +1162,13 @@ def decode_all_scans(
         # wavefront kernels over restart-segment lanes (wavefront_prog).
         from . import wavefront_prog
 
-        return [
-            np.asarray(c) for c in wavefront_prog.decode_all_scans(jpeg, config)
-        ]
+        acs, dcs = wavefront_prog.decode_all_scans(jpeg, config)
+        out = []
+        for ac, dc in zip(acs, dcs):
+            arr = np.array(ac)  # writable host copy
+            arr[:, 0] = np.asarray(dc)
+            out.append(arr)
+        return out
     try:
         comps, _ = decode_batch_to_device([jpeg], config, strict=True)
         return [np.asarray(c) for c in comps[0]]

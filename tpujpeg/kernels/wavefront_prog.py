@@ -963,9 +963,15 @@ def _img_lanes_s(img_view: Tuple, flat, ii: int, B: int):
     return flat[lane0 : lane0 + n_seg, :rows].reshape(-1, B)[:total]
 
 
-def _scatter_dc_s(flat, sk: _ScanStatic, gs: _GroupStatic, state: List):
+def _scatter_dc_s(flat, sk: _ScanStatic, gs: _GroupStatic, dcs: List):
     """Write one image's DC-first output ([total_mcus, B]) into its
-    per-component grids."""
+    per-component DC vectors. DC lives in a separate [padded_blocks]
+    column, NOT in the [padded_blocks, 64] AC state: a column write
+    into the big state (`.at[:, 0].set`) touches every (8,128) tile of
+    a ~67 MB array and measured ~50 ms/batch-4-4096² on chip
+    (tools/prog_scan_split.py); the standalone vector is ~1/64 the
+    traffic, and the transform stage merges it for free inside its
+    coefficient-major transpose (pipeline._build_batch)."""
     if sk.interleaved:
         b0 = 0
         for sp, ci in enumerate(sk.comp_indices):
@@ -975,31 +981,34 @@ def _scatter_dc_s(flat, sk: _ScanStatic, gs: _GroupStatic, state: List):
             b0 += nb
             sub = sub.reshape(gs.mcus_y, gs.mcus_x, v, h)
             sub = sub.transpose(0, 2, 1, 3).reshape(-1)
-            state[ci] = state[ci].at[:, 0].set(sub)
+            dcs[ci] = sub
     else:
         ci = sk.comp_indices[0]
         _h, _v, phb, pwb, hb, wb = gs.comps[ci]
         grid = flat[:, 0].reshape(hb, wb)
         grid = jnp.pad(grid, ((0, phb - hb), (0, pwb - wb)))
-        state[ci] = state[ci].at[:, 0].set(grid.reshape(-1))
+        dcs[ci] = grid.reshape(-1)
 
 
 def _apply_static(
-    gs: _GroupStatic, sk: _ScanStatic, states: List[List],
+    gs: _GroupStatic, sk: _ScanStatic, states: List[List], dcs: List[List],
     arrs, masks, interpret: bool,
 ):
     """One scan of the group against the (traced or eager) coefficient
-    states. arrs = (bits, lane_m, seg_bits) for kernel scans, None for
-    DC refinement; masks = per-image tuples of OR-masks for DC
-    refinement, () otherwise. Returns the kernel's error vector, or
-    None for DC refinement. Pure function of its inputs given the
-    statics — the whole scan sequence jits as one chain."""
+    states. states[i][ci] holds the AC coefficients ([padded_blocks,
+    64] zigzag, column 0 always zero); dcs[i][ci] the DC column
+    ([padded_blocks]) — kept separate so DC scans never pay a column
+    write into the big state (see _scatter_dc_s). arrs = (bits, lane_m,
+    seg_bits) for kernel scans, None for DC refinement; masks =
+    per-image tuples of OR-masks for DC refinement, () otherwise.
+    Returns the kernel's error vector, or None for DC refinement. Pure
+    function of its inputs given the statics — the whole scan sequence
+    jits as one chain."""
     if sk.kind == "dc_refine":
         for ii in range(gs.n_images):
             for j, mask in enumerate(masks[ii]):
                 ci = sk.comp_indices[j] if sk.interleaved else sk.comp_indices[0]
-                st = states[ii][ci]
-                states[ii][ci] = st.at[:, 0].set(st[:, 0] | mask)
+                dcs[ii][ci] = dcs[ii][ci] | mask
         return None
 
     bits, lane_m, seg_bits = arrs
@@ -1012,7 +1021,7 @@ def _apply_static(
         flat = _flat_lanes(out, sk.G, sk.M, B)
         for ii in range(gs.n_images):
             _scatter_dc_s(
-                _img_lanes_s(sk.img_view, flat, ii, B), sk, gs, states[ii]
+                _img_lanes_s(sk.img_view, flat, ii, B), sk, gs, dcs[ii]
             )
         return err
 
@@ -1057,13 +1066,15 @@ def _apply_static(
 
 
 def apply_scan_batch(
-    jpegs: Sequence, k: int, states: List[List], interpret: bool,
+    jpegs: Sequence, k: int, states: List[List], dcs: List[List],
+    interpret: bool,
     plan: Optional[ScanPlan] = None,
     errs_out: Optional[list] = None,
 ) -> None:
     """Apply scan index k of every image in the group to its
     device-resident coefficient grids (states[i][ci]:
-    int32[padded_hb*padded_wb, 64] jnp arrays), mutating in place —
+    int32[padded_hb*padded_wb, 64] AC-only jnp arrays; dcs[i][ci]:
+    int32[padded_hb*padded_wb] DC columns), mutating in place —
     the EAGER driver over _apply_static (decode_all_scans_batch runs
     the same logic as one jitted chain instead). With errs_out, error
     vectors are appended for a single deferred readback."""
@@ -1091,7 +1102,7 @@ def apply_scan_batch(
         comps=_comps_static(jpegs[0].frame),
         scans=(sk,),
     )
-    err = _apply_static(gs, sk, states, arrs, masks, interpret)
+    err = _apply_static(gs, sk, states, dcs, arrs, masks, interpret)
     if err is not None:
         if errs_out is None:
             _check_err(err, plan)
@@ -1165,13 +1176,20 @@ def _prog_chain(gs: _GroupStatic, interpret: bool):
             ]
             for _ in range(gs.n_images)
         ]
+        dcs = [
+            [
+                jnp.zeros((phb * pwb,), jnp.int32)
+                for (_h, _v, phb, pwb, _hb, _wb) in gs.comps
+            ]
+            for _ in range(gs.n_images)
+        ]
         errs = []
         for k, sk in enumerate(gs.scans):
-            err = _apply_static(gs, sk, states, arrs[k], masks[k],
+            err = _apply_static(gs, sk, states, dcs, arrs[k], masks[k],
                                 interpret)
             if err is not None:
                 errs.append(err)
-        return states, tuple(errs)
+        return states, dcs, tuple(errs)
 
     fn = jax.jit(run)
     _PROG_CHAIN_CACHE[key] = fn
@@ -1186,8 +1204,8 @@ def build_chain_inputs(
 ):
     """Host prep for the jitted whole-sequence chain: per-scan plans,
     the chain function, and its inputs. Returns (fn, arrs, masks,
-    kernel_plans); call `fn(arrs, masks)` -> (states, errs), where errs
-    aligns with kernel_plans for failure mapping. Benchmarks stage
+    kernel_plans); call `fn(arrs, masks)` -> (states, dcs, errs), where
+    errs aligns with kernel_plans for failure mapping. Benchmarks stage
     `arrs` in HBM before the clock."""
     n_scans = len(jpegs[0].scans)
     interpret = jax.default_backend() != "tpu"
@@ -1235,16 +1253,18 @@ def decode_all_scans_batch(
     with matching `scan_group_key`s: scan k of every image decodes in
     one wavefront launch (SURVEY.md §2.1 #10, §3.3 — cross-image
     batching of the multi-scan controller), and the WHOLE scan sequence
-    runs as one jitted chain. Returns (states, failures): states[i] is
-    the per-component [padded_blocks, 64] zigzag grid list for image i,
-    or None when failures[i] holds its exception. Error vectors are
-    read back once at the end — a bad image poisons only its own
-    lanes."""
+    runs as one jitted chain. Returns (states, dcs, failures):
+    states[i] is the per-component [padded_blocks, 64] zigzag AC grid
+    list for image i (column 0 zero) and dcs[i] the matching
+    [padded_blocks] DC columns — merged by the transform stage
+    (pipeline.transform_batch(dcs=...)) or on host — or None when
+    failures[i] holds its exception. Error vectors are read back once
+    at the end — a bad image poisons only its own lanes."""
     for jpeg in jpegs:
         if not jpeg.frame.progressive:
             raise JpegUnsupportedError("not a progressive frame")
     fn, arrs, masks, kernel_plans = build_chain_inputs(jpegs)
-    states, errs = fn(arrs, masks)
+    states, dcs, errs = fn(arrs, masks)
     failures: Dict[int, Exception] = {}
     for err, plan in zip(errs, kernel_plans):
         e = np.asarray(err).reshape(-1)[: plan.n_lanes]
@@ -1252,17 +1272,19 @@ def decode_all_scans_batch(
             failures.setdefault(img, exc)
     for img in failures:
         states[img] = None
-    return states, failures
+        dcs[img] = None
+    return states, dcs, failures
 
 
 def decode_all_scans(
     jpeg: bitstream.JpegData, config: DecodeConfig = DEFAULT_CONFIG
-) -> List[jnp.ndarray]:
+) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
     """Device-resident progressive entropy decode: every scan kind runs
     on device (DC refinement is a host bit-unpack + device OR — the bit
-    positions are static). Returns per-component [padded_blocks, 64]
-    zigzag coefficient grids (device arrays)."""
-    states, failures = decode_all_scans_batch([jpeg], config)
+    positions are static). Returns (acs, dcs): per-component
+    [padded_blocks, 64] zigzag AC grids (column 0 zero) and
+    [padded_blocks] DC columns (device arrays)."""
+    states, dcs, failures = decode_all_scans_batch([jpeg], config)
     if failures:
         raise failures[0]
-    return states[0]
+    return states[0], dcs[0]

@@ -107,8 +107,8 @@ def decode_batch_on_device(
 
             j = jpegs[i]
             try:
-                state = wavefront_prog.decode_all_scans(j, config)
-                _prog_emit(i, state)
+                state, dc = wavefront_prog.decode_all_scans(j, config)
+                _prog_emit(i, state, dc=dc)
                 return
             except JpegUnsupportedError:
                 pass  # host entropy below — valid files never fail here
@@ -132,7 +132,7 @@ def decode_batch_on_device(
                 errors[i] = JpegError(f"internal decode failure: {e!r}")
 
         def _prog_emit(i: int, state, out=None,
-                       engine: str = "wavefront-prog") -> None:
+                       engine: str = "wavefront-prog", dc=None) -> None:
             j = jpegs[i]
             frame = j.frame
             if out is None:
@@ -142,6 +142,7 @@ def decode_batch_on_device(
                 out = kp.transform_batch(
                     frame, [s[None] for s in state], qtabs, config,
                     color=bitstream.color_space(j),
+                    dcs=None if dc is None else [d[None] for d in dc],
                 )[0]
             images[i] = np.asarray(out) if config.to_numpy else out
             st = DecodeStats()
@@ -155,7 +156,7 @@ def decode_batch_on_device(
         for key, members in groups.items():
             try:
                 sub = [jpegs[i] for i in members]
-                states, failures = wavefront_prog.decode_all_scans_batch(
+                states, dcs, failures = wavefront_prog.decode_all_scans_batch(
                     sub, config
                 )
                 for li, exc in failures.items():
@@ -172,9 +173,14 @@ def decode_batch_on_device(
                     jnp.stack([states[li][ci] for li in ok])
                     for ci in range(frame.n_components)
                 ]
+                dc_stack = [
+                    jnp.stack([dcs[li][ci] for li in ok])
+                    for ci in range(frame.n_components)
+                ]
                 out = kp.transform_batch(
                     frame, coeff_stack, qtabs, config,
                     color=bitstream.color_space(sub[ok[0]]),
+                    dcs=dc_stack,
                 )
                 for slot, li in enumerate(ok):
                     _prog_emit(members[li], None, out=out[slot])

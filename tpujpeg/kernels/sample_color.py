@@ -52,16 +52,24 @@ _FIX_G_CB = -T._fix(0.34414)
 _FIX_G_CR = -T._fix(0.71414)
 
 
-def _color(y, cb, cr):
-    """int32 arrays -> (r, g, b) uint8; jdcolor.c fixed point."""
+def _color_i32(y, cb, cr):
+    """int32 arrays -> (r, g, b) int32 clipped to [0, 255]; jdcolor.c
+    fixed point. Stays in int32: a uint8 round-trip here costs a byte
+    pack + unpack relayout per component per phase (12 per phase pair)
+    before the u16 word pack that follows."""
     yi = y.astype(jnp.int32)
     cbi = cb - 128
     cri = cr - 128
     r = yi + ((_FIX_R_CR * cri + T.ONE_HALF) >> T.SCALEBITS)
     b = yi + ((_FIX_B_CB * cbi + T.ONE_HALF) >> T.SCALEBITS)
     g = yi + ((_FIX_G_CB * cbi + _FIX_G_CR * cri + T.ONE_HALF) >> T.SCALEBITS)
-    clip = lambda v: jnp.clip(v, 0, 255).astype(jnp.uint8)
+    clip = lambda v: jnp.clip(v, 0, 255)
     return clip(r), clip(g), clip(b)
+
+
+def _color(y, cb, cr):
+    """int32 arrays -> (r, g, b) uint8; jdcolor.c fixed point."""
+    return tuple(v.astype(jnp.uint8) for v in _color_i32(y, cb, cr))
 
 
 def _left(v):
@@ -79,11 +87,10 @@ def _color_u16pair(y_e, y_o, cb_e, cb_o, cr_e, cr_o):
     full extra HBM pass over the RGB (the old stack + u16-pack stages,
     ~half the measured color-tail time)."""
     out = []
-    for e, o in zip(_color(y_e, cb_e, cr_e), _color(y_o, cb_o, cr_o)):
-        out.append(
-            (e.astype(jnp.int32) | (o.astype(jnp.int32) << 8))
-            .astype(jnp.uint16)
-        )
+    for e, o in zip(
+        _color_i32(y_e, cb_e, cr_e), _color_i32(y_o, cb_o, cr_o)
+    ):
+        out.append((e | (o << 8)).astype(jnp.uint16))
     return out  # [r16, g16, b16]
 
 

@@ -480,13 +480,39 @@ run_ac_first_jit = jax.jit(
 
 
 # ---------------------------------------------------------------------------
-# AC refine kernel: lockstep DECODE/ADVANCE/TAIL phase machine
+# AC refine kernel: per trip, one (run,size)/EOBn symbol PLUS up to 32
+# correction bits, vectorized over the whole 64-coefficient band.
+#
+# The old phase machine consumed ONE bit (or examined one coefficient)
+# per lockstep trip, so a full-band luma refinement scan walked up to
+# ~70 trips per block. This formulation exploits what T.81 §G.1.2.3's
+# serial loop hides: given the band's zero/nonzero pattern, the entire
+# advance is data-independent —
+#   * the stop position after a (run,size) symbol is the (r+1)-th zero
+#     (16th for ZRL) at or after k: one cumsum over the zeros + a min;
+#   * every nonzero coefficient strictly before the stop consumes one
+#     correction bit, in k order — its bit index is its RANK among
+#     those nonzeros: a cumsum turns the 32-bit register window into
+#     all the correction bits at once;
+#   * an EOB tail is the same thing with the stop pinned past se.
+# Blocks needing more than 32 correction bits for one symbol continue
+# in chunks of 32 (rank windows) on later trips — rare in practice.
 # ---------------------------------------------------------------------------
 
-_PH_DECODE = 0
-_PH_ADVANCE = 1
-_PH_TAIL = 2
-_PH_DONE = 3
+_MODE_SYMBOL = 0   # needs a Huffman symbol decoded
+_MODE_RANGE = 1    # consuming a range's correction bits
+_MODE_DONE = 2
+
+
+def _cumsum64(x):
+    """Inclusive cumsum along axis 0 (size 64) via 6 doubling steps —
+    concatenate on the major dim lowers on Mosaic where strided/
+    interleaved forms do not (CLAUDE.md)."""
+    for sh in (1, 2, 4, 8, 16, 32):
+        x = x + jnp.concatenate(
+            [jnp.zeros((sh,) + x.shape[1:], x.dtype), x[:-sh]], axis=0
+        )
+    return x
 
 
 def _make_ac_refine_kernel(static):
@@ -497,7 +523,8 @@ def _make_ac_refine_kernel(static):
 
     def kernel(lane_m_ref, bits_ref, prior_ref, out_ref, err_ref,
                cur_ref, end_ref, eob_ref, err_acc_ref, w0_ref, w1_ref,
-               k_ref, r_ref, s_ref, val_ref, ph_ref):
+               k_ref, kstop_ref, place_ref, tail_ref, mode_ref,
+               done_ref):
         m = pl.program_id(1)
         bits = bits_ref[0]
         lane_m = lane_m_ref[0]
@@ -513,175 +540,175 @@ def _make_ac_refine_kernel(static):
 
         active = m < lane_m
         kiota = jax.lax.broadcasted_iota(jnp.int32, (64, SUBLANES, K), 0)
-        prior = prior_ref[0, 0]  # [64, 8, K]
-
-        cur = cur_ref[:]
-        err = err_acc_ref[:]
-        eob = eob_ref[:]
-        ok = active & (err == 0)
-
-        # Entry phase: lanes with a pending EOB run start in TAIL (the
-        # whole band gets correction bits for nonzero coefficients),
-        # everyone else in DECODE. Inactive lanes are DONE.
-        phase0 = jnp.where(
-            ok,
-            jnp.where(eob > 0, _PH_TAIL, _PH_DECODE),
-            _PH_DONE,
-        )
 
         # The updated coefficient band lives in the OUTPUT block ref
-        # (not the while carry): Mosaic copies carries every trip, and
-        # this one is 512 KB — the same fix as the baseline kernel's
-        # accumulator (wavefront_pallas).
-        out_ref[0, 0] = prior
+        # (not a while carry): Mosaic copies carries every trip, and
+        # this one is 512 KB (the same fix as the baseline kernel's
+        # accumulator, wavefront_pallas).
+        out_ref[0, 0] = prior_ref[0, 0]
 
-        # ALL remaining loop state lives in VMEM scratch refs too:
-        # Mosaic copies while_loop carries EVERY trip, and the old
-        # 10-array [8,K] carry tuple cost ~10 vreg-row copies per trip
-        # over up to 224 trips. The carry is just the trip counter.
+        eob0 = eob_ref[:]
+        ok = active & (err_acc_ref[:] == 0)
+        entry_tail = ok & (eob0 > 0)
+        # Block entry: a pending EOB run means the whole band [ss..se]
+        # is one correction-bit range (the tail); otherwise decode.
+        mode_ref[:] = jnp.where(
+            ok, jnp.where(entry_tail, _MODE_RANGE, _MODE_SYMBOL),
+            _MODE_DONE,
+        )
         k_ref[:] = jnp.full((SUBLANES, K), ss, jnp.int32)
-        r_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
-        s_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
-        val_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
-        ph_ref[:] = phase0
-        eob_ref[:] = eob
-        err_acc_ref[:] = err
+        kstop_ref[:] = jnp.full((SUBLANES, K), se + 1, jnp.int32)
+        place_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+        tail_ref[:] = jnp.where(entry_tail, 1, 0)
+        done_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
 
         def cond(step):
-            return jnp.any(ph_ref[:] != _PH_DONE) & (step < 224)
+            return jnp.any(mode_ref[:] != _MODE_DONE) & (step < 128)
+
+        def substep(cur, rw0, rw1, k, kstop, place, tail, eob, mode,
+                    err, done):
+            """One symbol + one <=32-bit correction chunk for every
+            lane, registers in/out; mutates out_ref in place."""
+            cv = out_ref[0, 0]  # [64, 8, K] current band values
+
+            # --- Symbol decode (mode SYMBOL). ---
+            dec = mode == _MODE_SYMBOL
+            win = _win_from_regs(rw0, rw1, cur)
+            rs, alen = _decode_symbol_win(win, ac_tbl)
+            badc = dec & (alen > 16)
+            rr = rs >> 4
+            ds = rs & 0x0F
+            bads = dec & (ds > 1)  # refine sizes are 0 or 1 (T.81 G.1.2.3)
+            sign = _receive_raw(win, alen, jnp.where(ds > 0, 1, 0))
+            nval = jnp.where(sign > 0, p1, m1)
+            is_eob = (ds == 0) & (rr < 15)
+            extra = _receive_raw(win, alen, jnp.where(is_eob, rr, 0))
+            dec_bits = alen + jnp.where(
+                ds > 0, 1, jnp.where(is_eob, rr, 0)
+            )
+            cur1 = cur + jnp.where(dec, dec_bits, 0)
+            eob = jnp.where(
+                dec & is_eob, jnp.left_shift(1, rr) + extra, eob
+            )
+
+            # Stop position: the (r+1)-th zero at/after k ((16)th for
+            # ZRL) — or past the band for EOB / exhausted runs. One
+            # cumsum serves both jobs this substep: zeros for decode
+            # lanes' stop search, nonzeros for range lanes' bit ranks
+            # (derived arithmetically below).
+            run = dec & ~is_eob
+            in_lo = kiota >= k[None]
+            zero_j = (cv == 0) & in_lo & (kiota <= se)
+            # Non-run lanes count nonzeros INSIDE their range: EOB
+            # lanes' range ends past the band (se+1, set below), range-
+            # continuation lanes' at their stored kstop.
+            kstop_eff = jnp.where(dec, se + 1, kstop)
+            nz_in = (cv != 0) & in_lo & (kiota < kstop_eff[None])
+            # int32 select, not bool: Mosaic rejects the i8->i1 trunc a
+            # bool-valued where materializes at this width.
+            mask = jnp.where(
+                run[None], zero_j.astype(jnp.int32),
+                nz_in.astype(jnp.int32),
+            )
+            mcum = _cumsum64(mask)
+            # Nonzeros in the whole [k..bound) window, closed form — the
+            # bottom row of the cumsum (static slice, no reduce).
+            row_se = mcum[se]
+            target = jnp.where(ds > 0, rr + 1, 16)
+            hit = jnp.where(
+                zero_j & (mcum == target[None]), kiota, 64
+            )
+            kstop_found = jnp.min(hit, axis=0)
+            notfound = kstop_found >= 64
+            err = jnp.where(badc | bads, _ERR_BADCODE, err)
+            err = jnp.where(run & (ds > 0) & notfound, _ERR_RUN, err)
+            kstop = jnp.where(
+                dec, jnp.where(run & ~notfound, kstop_found, se + 1),
+                kstop,
+            )
+            place = jnp.where(
+                dec, jnp.where((ds > 0) & ~notfound, nval, 0), place
+            )
+            tail = jnp.where(dec, jnp.where(is_eob, 1, 0), tail)
+            done = jnp.where(dec, 0, done)
+            mode = jnp.where(dec, _MODE_RANGE, mode)
+            rw0, rw1 = _advance_regs(bits, rw0, rw1, cur, cur1, W)
+
+            # Total correction bits this range owes, closed form:
+            # run-found lanes have exactly (target-1) zeros before the
+            # stop, so nonzeros = span - zeros; everyone else counts
+            # nonzeros directly in the cumsum's bottom row.
+            total_nz = jnp.where(
+                run,
+                jnp.where(
+                    notfound, (se + 1 - k) - row_se,
+                    kstop - k - (target - 1),
+                ),
+                row_se,
+            )
+
+            # --- Range correction bits (everyone now in RANGE):
+            # ranks [done, done+32) of the range's nonzeros map to the
+            # window's bits MSB-first. ---
+            rng = (mode == _MODE_RANGE) & (err == 0)
+            win2 = _win_from_regs(rw0, rw1, cur1)
+            nz_j = nz_in & (kiota < kstop[None])
+            # Rank of each nonzero among the range's nonzeros, 0-based:
+            # decode lanes derive it from the zeros cumsum (positions -
+            # zeros), range-continuation lanes read it directly.
+            ncum = jnp.where(
+                run[None], (kiota - k[None] + 1) - mcum, mcum
+            )
+            rank = ncum - 1 - done[None]
+            in_chunk = nz_j & rng[None] & (rank >= 0) & (rank < 32)
+            rank_c = jnp.clip(rank, 0, 31)
+            bit = (
+                (win2[None] >> (np.uint32(31) - rank_c.astype(jnp.uint32)))
+                .astype(jnp.int32)
+                & 1
+            )
+            do_fix = in_chunk & (bit > 0) & ((cv & p1) == 0)
+            delta = jnp.where(cv >= 0, p1, m1)
+            left = total_nz - done
+            consumed = jnp.where(rng, jnp.clip(left, 0, 32), 0)
+            complete = rng & (left <= 32)
+            # Placement of the newly-significant coefficient at kstop
+            # happens when its range completes (kstop <= se only for
+            # placing lanes; EOB/ZRL ranges carry place == 0).
+            placing = complete & (place != 0)
+            out_ref[0, 0] = (
+                out_ref[0, 0]
+                + jnp.where(do_fix, delta, 0)
+                + jnp.where(
+                    (kiota == kstop[None]) & placing[None],
+                    place[None], 0,
+                )
+            )
+            cur2 = cur1 + consumed
+            rw0, rw1 = _advance_regs(bits, rw0, rw1, cur1, cur2, W)
+
+            # >32-bit ranges keep k/kstop and continue at done+32.
+            done = jnp.where(rng & ~complete, done + 32, done)
+            k = jnp.where(complete, kstop + 1, k)
+            eob = jnp.where(complete & (tail > 0), eob - 1, eob)
+            mode = jnp.where(
+                complete,
+                jnp.where((tail > 0) | (k > se), _MODE_DONE, _MODE_SYMBOL),
+                mode,
+            )
+            mode = jnp.where(err != 0, _MODE_DONE, mode)
+            return (cur2, rw0, rw1, k, kstop, place, tail, eob, mode,
+                    err, done)
 
         def body(step):
-            cur = cur_ref[:]
-            rw0 = w0_ref[:]
-            rw1 = w1_ref[:]
-            k = k_ref[:]
-            r = r_ref[:]
-            s = s_ref[:]
-            val = val_ref[:]
-            eob = eob_ref[:]
-            ph = ph_ref[:]
-            err = err_acc_ref[:]
-            cur0 = cur
-            # ONE register window serves all three phases: a lane is in
-            # exactly one phase, and only its own branch advances cur,
-            # so every phase reads bits at the same cur it entered with
-            # (the old form recomputed three one-hot windows here).
-            win = _win_from_regs(rw0, rw1, cur)
-            top_bit = (win >> np.uint32(31)).astype(jnp.int32)
-
-            # --- DECODE lanes: one (run,size)/EOBn symbol. ---
-            dec = ph == _PH_DECODE
-            rs, alen = _decode_symbol_win(win, ac_tbl)
-            _w = win
-            badc = dec & (alen > 16)
-            dr = rs >> 4
-            ds = rs & 0x0F
-            # s>0 must be 1 in a refinement scan; treat others as bad.
-            bads = dec & (ds > 1)
-            sign = _receive_raw(_w, alen, jnp.where(ds > 0, 1, 0))
-            nval = jnp.where(sign > 0, p1, m1)
-            is_eob = (ds == 0) & (dr < 15)
-            extra = _receive_raw(
-                _w, alen + jnp.where(ds > 0, 1, 0),
-                jnp.where(is_eob, dr, 0),
-            )
-            new_eob = jnp.left_shift(1, dr) + extra  # note: 1<<rr (+extra)
-            dec_bits = alen + jnp.where(ds > 0, 1, 0) + jnp.where(
-                is_eob, dr, 0
-            )
-            cur = cur + jnp.where(dec, dec_bits, 0)
-            eob = jnp.where(dec & is_eob, new_eob, eob)
-            r = jnp.where(dec, jnp.where(ds == 0, dr, dr), r)
-            s = jnp.where(dec, jnp.where(ds > 0, 1, 0), s)
-            val = jnp.where(dec, nval, val)
-            ph = jnp.where(
-                dec,
-                jnp.where(is_eob, _PH_TAIL, _PH_ADVANCE),
-                ph,
-            )
-            err = jnp.where(badc | bads, _ERR_BADCODE, err)
-
-            # --- ADVANCE lanes: examine coefficient k. ---
-            adv = (ph == _PH_ADVANCE) & ~dec  # freshly-decoded lanes wait
-            in_band = k <= se
-            cv = jnp.sum(
-                jnp.where(kiota == k[None], out_ref[0, 0], 0), axis=0
-            )  # [8, K] current value at k (0 when k > 63)
-            nz = cv != 0
-            # s-insert lanes past the band: data error.
-            err = jnp.where(adv & ~in_band & (s > 0), _ERR_RUN, err)
-            ph = jnp.where(adv & ~in_band, _PH_DONE, ph)
-            act = adv & in_band
-            # Nonzero coefficient: consume one correction bit.
-            corr = act & nz
-            do_fix = corr & (top_bit > 0) & ((cv & p1) == 0)
-            delta = jnp.where(cv >= 0, p1, m1)
-            out_ref[0, 0] = out_ref[0, 0] + jnp.where(
-                (kiota == k[None]) & do_fix[None], delta[None], 0
-            )
-            cur = cur + jnp.where(corr, 1, 0)
-            k_next = jnp.where(corr, k + 1, k)
-            # Zero coefficient: part of the run, or the insert position.
-            zero = act & ~nz
-            place = zero & (r == 0) & (s > 0)
-            out_ref[0, 0] = out_ref[0, 0] + jnp.where(
-                (kiota == k[None]) & place[None], val[None], 0
-            )
-            run_end0 = zero & (r == 0) & (s == 0)  # ZRL's 16th zero
-            r = jnp.where(zero & (r > 0), r - 1, r)
-            k_next = jnp.where(zero & ~place & ~run_end0, k_next + 1, k_next)
-            # After placing (or finishing a ZRL run): k moves past, back
-            # to DECODE (or DONE past the band).
-            finish = place | run_end0
-            k_next = jnp.where(finish, k_next + 1, k_next)
-            ph = jnp.where(
-                finish,
-                jnp.where(k_next > se, _PH_DONE, _PH_DECODE),
-                ph,
-            )
-            # Plain advance past the band with s==0, r>0 exhausts at
-            # in_band check next iteration.
-            k = k_next
-
-            # --- TAIL lanes: correction bits for the rest of the band. ---
-            tail = (ph == _PH_TAIL) & ~dec
-            t_in = k <= se
-            cv_t = jnp.sum(
-                jnp.where(kiota == k[None], out_ref[0, 0], 0), axis=0
-            )
-            nz_t = cv_t != 0
-            t_corr = tail & t_in & nz_t
-            # Tail lanes' cur is untouched by the branches above, so the
-            # shared window still holds their next bit.
-            bit_t = top_bit
-            do_fix_t = t_corr & (bit_t > 0) & ((cv_t & p1) == 0)
-            delta_t = jnp.where(cv_t >= 0, p1, m1)
-            out_ref[0, 0] = out_ref[0, 0] + jnp.where(
-                (kiota == k[None]) & do_fix_t[None], delta_t[None], 0
-            )
-            cur = cur + jnp.where(t_corr, 1, 0)
-            k = jnp.where(tail & t_in, k + 1, k)
-            done_t = tail & ~t_in
-            eob = jnp.where(done_t, eob - 1, eob)
-            ph = jnp.where(done_t, _PH_DONE, ph)
-
-            # Errored lanes freeze immediately.
-            ph = jnp.where(err != 0, _PH_DONE, ph)
-
-            # Per-body consumption: DECODE <= 17+1+14, ADVANCE/TAIL <= 1
-            # — all under 32 bits, the register-slide invariant.
-            rw0, rw1 = _advance_regs(bits, rw0, rw1, cur0, cur, W)
-
-            cur_ref[:] = cur
-            w0_ref[:] = rw0
-            w1_ref[:] = rw1
-            k_ref[:] = k
-            r_ref[:] = r
-            s_ref[:] = s
-            val_ref[:] = val
-            eob_ref[:] = eob
-            ph_ref[:] = ph
-            err_acc_ref[:] = err
+            st = (cur_ref[:], w0_ref[:], w1_ref[:], k_ref[:],
+                  kstop_ref[:], place_ref[:], tail_ref[:], eob_ref[:],
+                  mode_ref[:], err_acc_ref[:], done_ref[:])
+            for _ in range(2):  # two substeps amortize the scratch
+                st = substep(*st)  # round + the cond's any-reduce
+            (cur_ref[:], w0_ref[:], w1_ref[:], k_ref[:], kstop_ref[:],
+             place_ref[:], tail_ref[:], eob_ref[:], mode_ref[:],
+             err_acc_ref[:], done_ref[:]) = st
             return step + 1
 
         jax.lax.while_loop(cond, body, jnp.int32(0))
@@ -702,10 +729,11 @@ def _run_ac_refine(bits, lane_m, seg_bits, prior, static, n_groups,
 
     def kernel(lane_m_ref, bits_ref, end_ref, prior_ref, out_ref,
                err_ref, cur_ref, eob_ref, err_acc_ref, w0_ref, w1_ref,
-               k_ref, r_ref, s_ref, val_ref, ph_ref):
+               k_ref, kstop_ref, place_ref, tail_ref, mode_ref,
+               done_ref):
         kern(lane_m_ref, bits_ref, prior_ref, out_ref, err_ref, cur_ref,
              end_ref, eob_ref, err_acc_ref, w0_ref, w1_ref,
-             k_ref, r_ref, s_ref, val_ref, ph_ref)
+             k_ref, kstop_ref, place_ref, tail_ref, mode_ref, done_ref)
 
     out, err = pl.pallas_call(
         kernel,
@@ -735,16 +763,17 @@ def _run_ac_refine(bits, lane_m, seg_bits, prior, static, n_groups,
             jax.ShapeDtypeStruct((n_groups, SUBLANES, K), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((SUBLANES, K), jnp.int32),
-            pltpu.VMEM((SUBLANES, K), jnp.int32),
-            pltpu.VMEM((SUBLANES, K), jnp.int32),
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # cursor
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # EOB run
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # error flags
             pltpu.VMEM((SUBLANES, K), jnp.int32),  # window word 0
             pltpu.VMEM((SUBLANES, K), jnp.int32),  # window word 1
-            pltpu.VMEM((SUBLANES, K), jnp.int32),  # k index
-            pltpu.VMEM((SUBLANES, K), jnp.int32),  # zero-run left
-            pltpu.VMEM((SUBLANES, K), jnp.int32),  # insert flag
-            pltpu.VMEM((SUBLANES, K), jnp.int32),  # insert value
-            pltpu.VMEM((SUBLANES, K), jnp.int32),  # phase
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # k (range start)
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # kstop (range end)
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # pending insert value
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # tail flag
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # mode
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # bits done in range
         ],
         interpret=interpret,
     )(lane_m, bits, seg_bits, prior)

@@ -166,6 +166,90 @@ def test_find_scan_end_matches_serial_reference():
         assert list(rst_n) == rst_s, (trial, data.hex(), start)
 
 
+def _scan_walk_serial(data: bytes, start: int):
+    """Byte-serial reference for the FUSED walk (tj_scan_walk): the
+    _find_scan_end_serial classification plus T.81 §B.1.1.5 destuffing
+    into per-segment byte lists."""
+    pos = start
+    n = len(data)
+    rsts = []
+    segs = [bytearray()]
+    while pos < n - 1:
+        b = data[pos]
+        if b != 0xFF:
+            segs[-1].append(b)
+            pos += 1
+            continue
+        nxt = data[pos + 1]
+        if nxt == 0x00:
+            segs[-1].append(0xFF)  # stuffed pair decodes as one 0xFF
+            pos += 2
+        elif nxt == 0xFF:
+            segs[-1].append(0xFF)  # fill byte stays in the stream
+            pos += 1
+        elif bs.M_RST0 <= nxt <= bs.M_RST7:
+            rsts.append(pos - start)
+            segs.append(bytearray())
+            pos += 2
+        else:
+            return pos, rsts, segs  # real marker terminates the scan
+    segs[-1].extend(data[pos:n])  # truncated: trailing byte is data
+    return n, rsts, segs
+
+
+def test_scan_walk_matches_serial_reference():
+    from tpujpeg.native import entropy as native_entropy
+
+    rng = np.random.default_rng(20260820)
+    for trial in range(1000):
+        k = int(rng.integers(0, 200))
+        raw = rng.integers(0, 256, size=k, dtype=np.int64)
+        dense = rng.choice(
+            [0xFF, 0x00, 0xD0, 0xD7, 0xD9, 0xDA, 0xC4, 0xFE], size=k
+        )
+        pick = rng.random(k) < 0.5
+        data = np.where(pick, dense, raw).astype(np.uint8).tobytes()
+        start = int(rng.integers(0, max(k, 1))) if k else 0
+        end_s, rst_s, segs_s = _scan_walk_serial(data, start)
+        end_n, rst_n, dest_n, starts_n = native_entropy.scan_walk(
+            data, start
+        )
+        assert end_n == end_s, (trial, data.hex(), start)
+        assert list(rst_n) == rst_s, (trial, data.hex(), start)
+        ref = b"".join(bytes(s) for s in segs_s)
+        assert dest_n.tobytes() == ref, (trial, data.hex(), start)
+        lens = [len(s) for s in segs_s]
+        ref_starts = np.concatenate([[0], np.cumsum(lens)])
+        assert list(starts_n) == list(ref_starts), (
+            trial, data.hex(), start,
+        )
+
+
+def test_parse_fills_destuffed_segments():
+    """parse() carries the fused walk's destuffed buffer on every scan,
+    and it matches the python split+destuff reference byte for byte."""
+    from corpus import make_jpeg
+
+    for kw in [
+        dict(),
+        dict(progressive=True),
+        dict(restart_blocks=0),
+        dict(subsampling=1, restart_rows=2),
+    ]:
+        data = make_jpeg(168, 120, seed=4, quality=90, **kw)
+        j = bs.parse(data)
+        for scan in j.scans:
+            assert scan.destuffed is not None
+            pieces = bs.split_restart_segments(scan)
+            assert scan.destuffed.tobytes() == b"".join(pieces)
+            lens = [len(p) for p in pieces]
+            ref = np.concatenate([[0], np.cumsum(lens)])
+            n_rst = len(scan.rst_offsets)
+            got = np.asarray(scan.dseg_starts)
+            assert list(got[: n_rst + 1]) == list(ref[: n_rst + 1])
+            assert got[n_rst + 1] == ref[-1]
+
+
 def test_find_scan_end_handcrafted_cases():
     cases = [
         (b"", 0),

@@ -111,6 +111,34 @@ def test_destuff_rows_matches_segments():
         assert (raw[s, lens[s] :] == 0xFF).all()
 
 
+def test_rows_from_dest_matches_destuff_rows():
+    """tj_rows_from_dest (memcpy row fill from the fused walk's
+    destuffed buffer) is bit-identical to tj_destuff_rows (memchr
+    re-walk of the stuffed stream), including overflow behavior."""
+    data = make_jpeg(200, 144, seed=4, subsampling=2, restart_blocks=3)
+    jpeg = bitstream.parse(data)
+    scan = jpeg.scans[0]
+    assert scan.destuffed is not None  # parse ran the fused walk
+    n_seg = len(scan.rst_offsets) + 1
+    lens = np.diff(np.asarray(scan.dseg_starts[: n_seg + 1]))
+    W = int(lens.max()) // 4 + 2
+    a_rows = np.empty((n_seg, W), dtype=np.int32)
+    a_bits = np.zeros(n_seg, dtype=np.int32)
+    b_rows = np.empty((n_seg, W), dtype=np.int32)
+    b_bits = np.zeros(n_seg, dtype=np.int32)
+    native_entropy.destuff_rows(scan, n_seg, W, a_rows, a_bits)
+    native_entropy.rows_from_dest(
+        scan.destuffed, scan.dseg_starts, 0, n_seg, W, b_rows, b_bits
+    )
+    np.testing.assert_array_equal(a_rows, b_rows)
+    np.testing.assert_array_equal(a_bits, b_bits)
+    with pytest.raises(JpegTruncatedError):
+        native_entropy.rows_from_dest(
+            scan.destuffed, scan.dseg_starts, 0, n_seg, 2,
+            np.empty((n_seg, 2), np.int32), b_bits,
+        )
+
+
 def test_native_scan_split_matches_python_walk():
     """tj_scan_split (skeleton scan, round-2 addition) vs the
     pure-python walker: identical bit offsets AND per-lane DC predictor

@@ -24,4 +24,8 @@ export TPUJPEG_NATIVE_SO="$SAN_DIR/entropy_asan.so"
 # that exercises the C++ library itself stays in.
 python -m pytest tests/test_native.py -q -x \
     -k "not full_decode_bit_exact"
+# The fused scan walk's property tests (FF-dense soup, cap-retry path)
+# live in test_bitstream.py and are pure native+numpy.
+python -m pytest tests/test_bitstream.py -q -x \
+    -k "scan_walk or find_scan_end or destuffed"
 echo "ASan/UBSan: native entropy tests clean"

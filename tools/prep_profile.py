@@ -59,10 +59,27 @@ def main() -> int:
     plan = wp.build_block_plan(jpegs)
     plan_s = best(lambda: wp.build_block_plan(jpegs))
 
-    # Destuff alone, same W as the plan used.
+    # Row fill alone, same W as the plan used. Since the fused scan
+    # walk (tj_scan_walk) parse destuffs inline, the plan's fill is
+    # rows_from_dest (memcpy+pad+bswap); time both it and the old
+    # memchr re-walk for the delta.
     W = plan.n_words
 
-    def destuff_only():
+    def rows_only():
+        for j in jpegs:
+            scan = j.scans[0]
+            n_seg = len(scan.rst_offsets) + 1
+            rows = np.empty((n_seg, W), np.int32)
+            sb = np.zeros(n_seg, np.int32)
+            if scan.destuffed is not None:
+                native_entropy.rows_from_dest(
+                    scan.destuffed, scan.dseg_starts, 0, n_seg, W,
+                    rows, sb,
+                )
+            else:
+                native_entropy.destuff_rows(scan, n_seg, W, rows, sb)
+
+    def destuff_rows_old():
         for j in jpegs:
             scan = j.scans[0]
             n_seg = len(scan.rst_offsets) + 1
@@ -70,15 +87,17 @@ def main() -> int:
             sb = np.zeros(n_seg, np.int32)
             native_entropy.destuff_rows(scan, n_seg, W, rows, sb)
 
-    destuff_s = best(destuff_only)
+    destuff_s = best(rows_only)
+    destuff_old_s = best(destuff_rows_old)
 
     print(json.dumps({
         "total_mp": total_mp,
         "jpeg_mb": round(total_bytes / 1e6, 1),
         "parse": {"s": round(parse_s, 4),
                   "mp_per_s": round(total_mp / parse_s, 1)},
-        "destuff": {"s": round(destuff_s, 4),
-                    "mp_per_s": round(total_mp / destuff_s, 1)},
+        "rows_fill": {"s": round(destuff_s, 4),
+                      "mp_per_s": round(total_mp / destuff_s, 1)},
+        "destuff_rows_old_s": round(destuff_old_s, 4),
         "plan_total": {"s": round(plan_s, 4),
                        "mp_per_s": round(total_mp / plan_s, 1)},
         "plan_minus_destuff_s": round(plan_s - destuff_s, 4),

@@ -383,12 +383,24 @@ def build_block_plan(
         n_seg = -(-total_mcus // ri)
         if len(scan.rst_offsets) + 1 < n_seg:
             raise JpegTruncatedError("missing restart segments")
-        # Stuffed segment lengths bound the destuffed row size (never
-        # expands), so rows can be sized without destuffing first.
-        ro = np.asarray(scan.rst_offsets[: n_seg - 1], dtype=np.int64)
-        offs_r = np.concatenate([ro, [len(scan.data)]])
-        starts_r = np.concatenate([[0], ro + 2])
-        stuffed = offs_r - starts_r
+        if (
+            scan.destuffed is not None
+            and scan.dseg_starts is not None
+            and len(scan.dseg_starts) >= n_seg + 1
+        ):
+            # parse()'s fused walk already destuffed: size rows by the
+            # EXACT segment lengths (can be a 32-word bucket tighter
+            # than the stuffed bound, and the kernel's per-symbol word
+            # walk prices every row word).
+            ds = scan.dseg_starts
+            stuffed = ds[1 : n_seg + 1] - ds[:n_seg]
+        else:
+            # Stuffed segment lengths bound the destuffed row size
+            # (never expands), so rows can be sized without destuffing.
+            ro = np.asarray(scan.rst_offsets[: n_seg - 1], dtype=np.int64)
+            offs_r = np.concatenate([ro, [len(scan.data)]])
+            starts_r = np.concatenate([[0], ro + 2])
+            stuffed = offs_r - starts_r
         seg_rows.append((scan, n_seg))
         fm = np.arange(n_seg, dtype=np.int64) * ri
         nm = np.minimum(ri, total_mcus - fm).astype(np.int32)
@@ -443,11 +455,20 @@ def build_block_plan(
         native_entropy.destuff_rows  # force the lazy lib build early
         lane0 = 0
         for scan, n_seg in seg_rows:
-            native_entropy.destuff_rows(
-                scan, n_seg, W,
-                bits_flat[lane0 : lane0 + n_seg],
-                seg_bits[lane0 : lane0 + n_seg],
-            )
+            if scan.destuffed is not None and scan.dseg_starts is not None:
+                # Fused-walk parse: rows are a memcpy + pad + byte-swap
+                # of the already-destuffed buffer (no memchr re-walk).
+                native_entropy.rows_from_dest(
+                    scan.destuffed, scan.dseg_starts, 0, n_seg, W,
+                    bits_flat[lane0 : lane0 + n_seg],
+                    seg_bits[lane0 : lane0 + n_seg],
+                )
+            else:
+                native_entropy.destuff_rows(
+                    scan, n_seg, W,
+                    bits_flat[lane0 : lane0 + n_seg],
+                    seg_bits[lane0 : lane0 + n_seg],
+                )
             lane0 += n_seg
     # The native build can fail many ways (no g++: OSError /
     # CalledProcessError, not just ImportError); the pure-python row

@@ -90,7 +90,16 @@ def _seg_geometry(jpeg, scan):
 
 
 def _stuffed_width(scan, n_seg) -> int:
-    """Word row width that fits the longest (stuffed) segment."""
+    """Word row width that fits the longest segment (exact destuffed
+    lengths when parse's fused walk ran, stuffed bound otherwise)."""
+    if (
+        scan.destuffed is not None
+        and scan.dseg_starts is not None
+        and len(scan.dseg_starts) >= n_seg + 1
+    ):
+        ds = scan.dseg_starts
+        lens = ds[1 : n_seg + 1] - ds[:n_seg]
+        return int(lens.max()) // 4 + 2 if n_seg else 2
     ro = np.asarray(scan.rst_offsets[: n_seg - 1], dtype=np.int64)
     offs_r = np.concatenate([ro, [len(scan.data)]])
     starts_r = np.concatenate([[0], ro + 2])
@@ -105,7 +114,15 @@ def _fill_rows(scan, n_seg, W, out_words, out_bits) -> None:
         from ..native import entropy as native_entropy
 
         native_entropy.destuff_rows  # force lazy build
-        native_entropy.destuff_rows(scan, n_seg, W, out_words, out_bits)
+        if scan.destuffed is not None and scan.dseg_starts is not None:
+            native_entropy.rows_from_dest(
+                scan.destuffed, scan.dseg_starts, 0, n_seg, W,
+                out_words, out_bits,
+            )
+        else:
+            native_entropy.destuff_rows(
+                scan, n_seg, W, out_words, out_bits
+            )
     except JpegSyntaxError:
         raise
     except Exception:

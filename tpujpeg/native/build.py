@@ -139,6 +139,29 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int64),   # n_rst (true count)
         ]
 
+        lib.tj_scan_walk.restype = ctypes.c_int64
+        lib.tj_scan_walk.argtypes = [
+            ctypes.c_char_p,                  # data
+            ctypes.c_int64,                   # n
+            ctypes.c_int64,                   # start
+            ctypes.POINTER(ctypes.c_int64),   # rst_out
+            ctypes.c_int64,                   # rst_cap
+            ctypes.POINTER(ctypes.c_int64),   # n_rst (true count)
+            ctypes.c_void_p,                  # out (destuffed bytes)
+            ctypes.POINTER(ctypes.c_int64),   # seg_starts (cap+2)
+        ]
+
+        lib.tj_rows_from_dest.restype = ctypes.c_int
+        lib.tj_rows_from_dest.argtypes = [
+            ctypes.c_void_p,                  # dest (destuffed bytes)
+            ctypes.POINTER(ctypes.c_int64),   # seg_starts
+            ctypes.c_int,                     # n_seg
+            ctypes.c_int,                     # row_words
+            ctypes.c_void_p,                  # out_words
+            ctypes.c_void_p,                  # out_bits
+            ctypes.c_int,                     # n_threads
+        ]
+
         lib.tj_destuff_segments.restype = ctypes.c_int64
         lib.tj_destuff_segments.argtypes = [
             ctypes.c_void_p,                  # scan_data (ptr: zero-copy)

@@ -1175,4 +1175,123 @@ int64_t tj_destuff_segments(const uint8_t* scan_data, int64_t scan_len,
   return o;
 }
 
+// One-pass scan walk: tj_find_scan_end + tj_destuff_segments fused so
+// the multi-megabyte scan payload is read ONCE (the terminator walk
+// already memchr-touches every byte; the destuffed copy rides the same
+// runs — this was the host prep stage's second full-stream read).
+// Semantics are the exact union of the two: the walk classifies every
+// 0xFF pair (T.81 §B.1.1.5 stuffing, §B.1.1.2 fill, §E.2.4 RSTn), and
+// `out` (callee-sized >= n - start) receives the destuffed entropy
+// bytes of every segment back to back. Contract mirrors the parents:
+//   rst_out[cnt]   stuffed-byte offset of each RSTn, relative to start
+//   seg_starts[i]  destuffed start of segment i; [n_rst+1] = total len
+//   *n_rst         TRUE marker count; if it exceeds rst_cap the caller
+//                  re-calls with a bigger cap (out writes are complete
+//                  either way, but seg_starts past the cap were dropped)
+// Returns the absolute scan end position (n when it runs to EOF).
+// Fill bytes (0xFF 0xFF) are KEPT in `out` like destuff() keeps them:
+// trailing fill decodes as the all-ones padding T.81 allows.
+int64_t tj_scan_walk(const uint8_t* data, int64_t n, int64_t start,
+                     int64_t* rst_out, int64_t rst_cap, int64_t* n_rst,
+                     uint8_t* out, int64_t* seg_starts) {
+  int64_t pos = start;
+  int64_t copy_from = start;  // first byte not yet copied to out
+  int64_t o = 0;
+  int64_t cnt = 0;
+  seg_starts[0] = 0;  // callers size seg_starts at rst_cap + 2 (>= 2)
+
+  auto flush = [&](int64_t upto) {
+    // Copy [copy_from, upto) into out; the caller advances copy_from.
+    int64_t len = upto - copy_from;
+    if (len > 0) {
+      std::memcpy(out + o, data + copy_from, static_cast<size_t>(len));
+      o += len;
+    }
+  };
+
+  while (pos < n - 1) {
+    const void* hit =
+        std::memchr(data + pos, 0xFF, static_cast<size_t>(n - 1 - pos));
+    if (!hit) break;
+    pos = static_cast<const uint8_t*>(hit) - data;
+    const uint8_t nxt = data[pos + 1];
+    if (nxt == 0x00) {
+      flush(pos + 1);        // keep the 0xFF, drop the stuffed zero
+      copy_from = pos + 2;
+      pos += 2;
+    } else if (nxt == 0xFF) {
+      pos += 1;              // fill byte: stays in the stream, re-examine
+    } else if (nxt >= 0xD0 && nxt <= 0xD7) {
+      flush(pos);            // segment ends before the marker pair
+      copy_from = pos + 2;
+      if (cnt < rst_cap) {
+        rst_out[cnt] = pos - start;
+        seg_starts[cnt + 1] = o;
+      }
+      cnt++;
+      pos += 2;
+    } else {
+      flush(pos);            // real marker terminates the scan
+      *n_rst = cnt;
+      if (cnt + 1 < rst_cap + 2) seg_starts[cnt + 1] = o;
+      return pos;
+    }
+  }
+  flush(n);                  // truncated scan: runs to EOF
+  *n_rst = cnt;
+  if (cnt + 1 < rst_cap + 2) seg_starts[cnt + 1] = o;
+  return n;
+}
+
+// Row fill from an already-destuffed buffer (tj_scan_walk /
+// tj_destuff_segments output): pure memcpy + 0xFF pad + word byte-swap
+// per lane row — no memchr re-walk of the stream, which made the old
+// tj_destuff_rows the biggest host-prep term (~50 ms / 268 MP).
+// Layout contract identical to tj_destuff_rows. Returns 0, or 1 if any
+// segment overflows row_words (writes clamped in bounds).
+int tj_rows_from_dest(const uint8_t* dest, const int64_t* seg_starts,
+                      int n_seg, int row_words, int32_t* out_words,
+                      int32_t* out_bits, int n_threads) {
+  std::atomic<int> overflow{0};
+  const size_t row_bytes = static_cast<size_t>(row_words) * 4;
+
+  auto run_range = [&](int lo, int hi) {
+    for (int s = lo; s < hi; s++) {
+      int64_t src_len = seg_starts[s + 1] - seg_starts[s];
+      if (static_cast<size_t>(src_len) > row_bytes) {
+        overflow.store(1);
+        src_len = static_cast<int64_t>(row_bytes);
+      }
+      uint8_t* row = reinterpret_cast<uint8_t*>(out_words) +
+                     static_cast<size_t>(s) * row_bytes;
+      std::memcpy(row, dest + seg_starts[s], static_cast<size_t>(src_len));
+      std::memset(row + src_len, 0xFF, row_bytes - src_len);
+      out_bits[s] = static_cast<int32_t>(src_len * 8);
+      for (size_t w = 0; w < row_bytes; w += 4) {
+        uint32_t v;
+        std::memcpy(&v, row + w, 4);
+        v = __builtin_bswap32(v);
+        std::memcpy(row + w, &v, 4);
+      }
+    }
+  };
+
+  int nt = n_threads;
+  if (nt > n_seg) nt = n_seg;
+  if (nt <= 1) {
+    run_range(0, n_seg);
+  } else {
+    std::vector<std::thread> workers;
+    int per = (n_seg + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+      int lo = t * per;
+      int hi = std::min(n_seg, lo + per);
+      if (lo >= hi) break;
+      workers.emplace_back(run_range, lo, hi);
+    }
+    for (auto& th : workers) th.join();
+  }
+  return overflow.load();
+}
+
 }  // extern "C"

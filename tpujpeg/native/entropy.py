@@ -139,7 +139,13 @@ def destuff_segments(scan: bitstream.Scan) -> Tuple[np.ndarray, np.ndarray]:
     """Destuff a scan in one native pass. Returns (bytes_u8, seg_starts)
     where seg_starts[i] is segment i's start offset in the destuffed
     buffer and seg_starts[-1] its total length — the segment index table
-    shipped to the device wavefront decoder (SURVEY.md §3.4)."""
+    shipped to the device wavefront decoder (SURVEY.md §3.4).
+
+    When parse() already ran the fused scan walk the result is served
+    from Scan.destuffed without touching the stream again (identical
+    layout; callers treat the buffer as read-only)."""
+    if scan.destuffed is not None and scan.dseg_starts is not None:
+        return scan.destuffed, scan.dseg_starts
     lib = build_mod.get_lib()
     n_rst = len(scan.rst_offsets)
     dptr, dlen, _keep = _scan_buf(scan)
@@ -278,6 +284,77 @@ def find_scan_end(data: bytes, start: int) -> Tuple[int, np.ndarray]:
         if n_rst.value <= cap:
             return int(end), out[: n_rst.value]
         cap = int(n_rst.value)
+
+
+def scan_walk(
+    data: bytes, start: int
+) -> Tuple[int, np.ndarray, np.ndarray, np.ndarray]:
+    """Fused find_scan_end + destuff_segments: ONE native pass over the
+    scan payload returns (end_pos, rst_offsets_i64, destuffed_u8,
+    seg_starts_i64). rst_offsets are stuffed-byte offsets relative to
+    `start` (identical to find_scan_end); seg_starts[i] is segment i's
+    start in the destuffed buffer with seg_starts[-1] its total length
+    (identical to destuff_segments). parse() calls this so the stream is
+    read once instead of once to find the end and again to destuff."""
+    lib = build_mod.get_lib()
+    n = len(data)
+    out = np.empty(max(n - start, 1), dtype=np.uint8)
+    cap = max(16, (n - start) // 32)
+    while True:
+        rst = np.empty(cap, dtype=np.int64)
+        starts = np.zeros(cap + 2, dtype=np.int64)
+        n_rst = ctypes.c_int64(0)
+        end = lib.tj_scan_walk(
+            data, n, start,
+            rst.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap, ctypes.byref(n_rst),
+            out.ctypes.data_as(ctypes.c_void_p),
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if n_rst.value <= cap:
+            k = n_rst.value
+            return (
+                int(end),
+                rst[:k],
+                out[: starts[k + 1]],
+                starts[: k + 2],
+            )
+        cap = int(n_rst.value)
+
+
+def rows_from_dest(
+    destuffed: np.ndarray,
+    seg_starts: np.ndarray,
+    lane0: int,
+    n_seg: int,
+    row_words: int,
+    out_words: np.ndarray,
+    out_bits: np.ndarray,
+    n_threads: int = 0,
+) -> None:
+    """destuff_rows from an already-destuffed buffer (scan_walk output):
+    memcpy + pad + byte-swap only, no memchr re-walk. `lane0` offsets
+    into seg_starts (decode_sharded slices a shard's lane range)."""
+    lib = build_mod.get_lib()
+    if n_threads <= 0:
+        n_threads = min(
+            default_threads(), max(1, int(len(destuffed)) >> 23)
+        )
+    assert out_words.dtype == np.int32 and out_words.flags.c_contiguous
+    assert seg_starts.dtype == np.int64
+    starts = seg_starts[lane0 : lane0 + n_seg + 1]
+    starts = np.ascontiguousarray(starts)
+    rc = lib.tj_rows_from_dest(
+        destuffed.ctypes.data_as(ctypes.c_void_p),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_seg,
+        row_words,
+        out_words.ctypes.data_as(ctypes.c_void_p),
+        out_bits.ctypes.data_as(ctypes.c_void_p),
+        n_threads,
+    )
+    if rc != 0:
+        raise JpegTruncatedError("segment exceeds wavefront row capacity")
 
 
 def destuff_rows(

@@ -68,35 +68,30 @@ def main():
     assert len(keys) == 1, "corpus must share one scan structure"
     n_scans = len(jpegs[0].scans)
 
-    # Host prep rate: plans + masks + the jitted whole-sequence chain
-    # (the stage a pipeline would overlap).
+    # Host prep rate: plans + masks + the ONE-dispatch to-RGB chain
+    # (scan kernels + DC merges + transform in a single jitted program —
+    # the separate transform dispatch cost a device round-trip per
+    # batch). packed16 output when the frame qualifies, as bench.py.
     t0 = time.perf_counter()
-    fn, arrs, masks, kernel_plans = wprog.build_chain_inputs(jpegs)
+    gs, arrs, masks, kernel_plans = wprog._chain_statics(jpegs)
+    color = bitstream.color_space(jpegs[0])
+    packed = kernel_pipeline.packed_layout_applies(frame, cfg, color)
+    tkey = (cfg.idct, cfg.fancy_upsampling, color, packed, False)
+    fn = wprog._prog_rgb_chain(gs, tkey, interpret)
+    qtabs = [jnp.asarray(jpegs[0].qtables[c.tq]) for c in frame.components]
     plan_s = time.perf_counter() - t0
 
     # Stage the chain inputs in HBM (excluded, see docstring).
     t0 = time.perf_counter()
     arrs = jax.device_put(arrs)
     masks = jax.device_put(masks)
-    for leaf in jax.tree_util.tree_leaves((arrs, masks)):
+    qtabs = jax.device_put(qtabs)
+    for leaf in jax.tree_util.tree_leaves((arrs, masks, qtabs)):
         _ = int(jnp.sum(leaf.reshape(-1)[:1].astype(jnp.int32)))  # force
     upload_s = time.perf_counter() - t0
 
     def chip_decode():
-        states, dcs, errs = fn(arrs, masks)
-        qtabs = [jnp.asarray(jpegs[0].qtables[c.tq]) for c in frame.components]
-        coeff_stack = [
-            jnp.stack([states[i][ci] for i in range(batch)])
-            for ci in range(frame.n_components)
-        ]
-        dc_stack = [
-            jnp.stack([dcs[i][ci] for i in range(batch)])
-            for ci in range(frame.n_components)
-        ]
-        rgb = kernel_pipeline.transform_batch(
-            frame, coeff_stack, qtabs, cfg, dcs=dc_stack
-        )
-        return rgb, errs
+        return fn(arrs, masks, qtabs)
 
     rgb, errs = chip_decode()
     _ = int(csum(rgb))  # compile + warm, true sync
@@ -111,9 +106,15 @@ def main():
         times.append(time.perf_counter() - t0)
     value = mp / min(times)
 
+    def as_nhwc(x):
+        if not packed:
+            return np.asarray(x)
+        u8 = np.asarray(x).view(np.uint8)
+        return u8.reshape(3, size, size).transpose(1, 2, 0)
+
     exact = all(
         np.array_equal(
-            np.asarray(rgb[i]), np.asarray(Image.open(io.BytesIO(datas[i])))
+            as_nhwc(rgb[i]), np.asarray(Image.open(io.BytesIO(datas[i])))
         )
         for i in range(batch)
     )
@@ -137,8 +138,9 @@ def main():
                     "platform": jax.devices()[0].platform,
                     "includes": (
                         "all scan kernels (cross-image batched) +"
-                        " DC-refine OR + Pallas transform, inputs staged"
-                        " in HBM, one sync"
+                        " DC-refine OR + Pallas transform as ONE jitted"
+                        " program (single dispatch), packed16 output,"
+                        " inputs staged in HBM, one sync"
                     ),
                 },
             }

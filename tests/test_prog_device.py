@@ -141,6 +141,65 @@ def test_prog_batch_matches_oracle_shared_tables():
             )
 
 
+def test_prog_to_rgb_merged_chain_bit_exact():
+    """decode_all_scans_to_rgb_batch: the ONE-dispatch chain (scan
+    kernels + DC merges + transform) matches PIL bit-for-bit in both
+    output layouts."""
+    data = make_jpeg(168, 120, seed=33, progressive=True, subsampling=2,
+                     restart_blocks=4)
+    jpegs = [bitstream.parse(data) for _ in range(2)]
+    cfg = DecodeConfig(transform_engine="pallas")
+    ref = np.asarray(Image.open(io.BytesIO(data)))
+    rgb, layout, failures = wprog.decode_all_scans_to_rgb_batch(
+        jpegs, cfg
+    )
+    assert layout == "nhwc" and not failures
+    for i in range(2):
+        np.testing.assert_array_equal(np.asarray(rgb[i]), ref)
+    rgbp, layoutp, failp = wprog.decode_all_scans_to_rgb_batch(
+        jpegs, cfg, packed=True
+    )
+    assert layoutp == "packed16" and not failp
+    for i in range(2):
+        u8 = np.asarray(rgbp[i]).view(np.uint8).reshape(
+            3, ref.shape[0], ref.shape[1]
+        )
+        np.testing.assert_array_equal(u8.transpose(1, 2, 0), ref)
+
+
+def test_transform_batch_per_image_quantizers():
+    """pipeline.transform_batch with qtabs[ci] = [N, 64] (one quantizer
+    per image): XLA-side per-image dequant is bit-exact vs PIL for a
+    q85/q70 pair sharing one launch."""
+    from tpujpeg.kernels import pipeline as kp
+    from tpujpeg.native import entropy as ne
+    import jax.numpy as jnp
+
+    d1 = make_jpeg(168, 120, seed=21, quality=85, subsampling=2,
+                   restart_blocks=3)
+    d2 = make_jpeg(168, 120, seed=22, quality=70, subsampling=2,
+                   restart_blocks=3)
+    jpegs = [bitstream.parse(d) for d in (d1, d2)]
+    frame = jpegs[0].frame
+    coeffs = [ne.decode_all_scans(j) for j in jpegs]
+    coeff_stack = [
+        jnp.stack([np.asarray(coeffs[i][ci]) for i in range(2)])
+        for ci in range(3)
+    ]
+    qtabs = [
+        jnp.asarray(np.stack([j.qtables[c.tq] for j in jpegs]))
+        for c in frame.components
+    ]
+    cfg = DecodeConfig(transform_engine="pallas")
+    rgb = kp.transform_batch(frame, coeff_stack, qtabs, cfg,
+                             color="ycbcr")
+    for i, d in enumerate((d1, d2)):
+        np.testing.assert_array_equal(
+            np.asarray(rgb[i]),
+            np.asarray(Image.open(io.BytesIO(d))),
+        )
+
+
 def test_prog_batch_per_image_tables_split_groups():
     """Different-content progressive files carry per-image optimized
     tables, so they must land in separate groups — and still decode

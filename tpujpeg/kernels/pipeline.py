@@ -149,13 +149,19 @@ def _color_stage(frame, expansions, planes, fancy: bool, interpret: bool,
 
 @functools.lru_cache(maxsize=128)
 def _build_batch(key: Tuple, idct_variant: str, fancy: bool, interpret: bool,
-                 color: str, has_dc: bool = False):
+                 color: str, has_dc: bool = False, packed: bool = False,
+                 per_image_q: bool = False):
     """Jitted [N, ...]-batched transform for one frame geometry. With
     has_dc, a separate per-block DC column rides in (the progressive
     decoder keeps DC out of the [blocks, 64] state — see
     wavefront_prog._scatter_dc_s) and merges here: in the islow path
     the coefficient-major transpose already touches every element, so
-    replacing row 0 is free."""
+    replacing row 0 is free. With per_image_q, qtabs[ci] is [N, 64]
+    (one quantizer per image) and dequant happens in XLA before the
+    kernel — same int32 multiply, fused into the coefficient-major
+    transpose, with the kernel's SMEM quantizer set to ones. packed:
+    see _color_stage (column-packed planar uint16 output when the frame
+    qualifies, per packed_layout_applies)."""
     frame = _make_frame(key)
     expansions = [
         (frame.hmax // c.h, frame.vmax // c.v) for c in frame.components
@@ -167,29 +173,50 @@ def _build_batch(key: Tuple, idct_variant: str, fancy: bool, interpret: bool,
         planes: List[jnp.ndarray] = []
         for ci, c in enumerate(frame.components):
             nb = c.padded_hb * c.padded_wb
+            flat = coeffs[ci].reshape(n * nb, 64)
+            if per_image_q:
+                flat = (
+                    flat.reshape(n, nb, 64) * qtabs[ci][:, None, :]
+                ).reshape(n * nb, 64)
+                q_kernel = jnp.ones((64,), jnp.int32)
+            else:
+                q_kernel = qtabs[ci]
+            if has_dc:
+                # DC rides in as its own column (wavefront_prog keeps it
+                # out of the [blocks, 64] state); dequant it separately
+                # and merge as a ROW write post-transpose (a column set
+                # into the big flat array touches every (8,128) tile).
+                dc_flat = dcs[ci].reshape(n * nb)
+                if per_image_q:
+                    dc_flat = (
+                        dc_flat.reshape(n, nb) * qtabs[ci][:, :1]
+                    ).reshape(n * nb)
             if idct_variant == "matmul":
-                flat = coeffs[ci].reshape(n * nb, 64)
                 if has_dc:
-                    flat = flat.at[:, 0].set(dcs[ci].reshape(n * nb))
-                samples = idct_k.dequant_idct_matmul(flat, qtabs[ci])
+                    flat = flat.at[:, 0].set(dc_flat)
+                samples = idct_k.dequant_idct_matmul(flat, q_kernel)
                 plane = T.blocks_to_plane(
                     samples, n * c.padded_hb, c.padded_wb
                 ).reshape(n, c.padded_hb * 8, c.padded_wb * 8)
             else:
-                flat = coeffs[ci].reshape(n * nb, 64)
                 pad = (-(n * nb)) % idct_k.LANE_TILE
                 cm = jnp.pad(flat, ((0, pad), (0, 0))).T
                 if has_dc:
-                    dc_flat = jnp.pad(dcs[ci].reshape(n * nb), (0, pad))
-                    cm = cm.at[0].set(dc_flat)
+                    # Raw DC when the kernel dequants (it scales row 0
+                    # by q[0]); already-dequantized DC when q_kernel is
+                    # ones (per_image_q).
+                    cm = cm.at[0].set(jnp.pad(dc_flat, (0, pad)))
                 out_cm = idct_k.dequant_idct_islow_cm(
-                    cm, qtabs[ci], interpret=interpret
+                    cm, q_kernel, interpret=interpret
                 )
                 plane = _cm_to_planes(
                     out_cm[:, : n * nb], n, c.padded_hb, c.padded_wb
                 )
             planes.append(plane[:, : c.dheight, : c.dwidth])
-        return _color_stage(frame, expansions, planes, fancy, interpret, color)
+        return _color_stage(
+            frame, expansions, planes, fancy, interpret, color,
+            packed=packed,
+        )
 
     return jax.jit(fn)
 
@@ -243,11 +270,14 @@ def transform_batch(
     config: DecodeConfig,
     color: str = None,
     dcs: Sequence = None,
+    packed: bool = False,
 ):
     """coeffs[ci]: int32[N, padded_blocks, 64] zigzag; qtabs[ci]:
-    int32[64]; dcs[ci] (optional): int32[N, padded_blocks] DC columns
-    to merge into coefficient slot 0 (see _build_batch). Returns
-    uint8[N, H, W, 3] (or [N, H, W] grayscale, [N, H, W, 4] CMYK)."""
+    int32[64], or int32[N, 64] for per-image quantizers; dcs[ci]
+    (optional): int32[N, padded_blocks] DC columns to merge into
+    coefficient slot 0 (see _build_batch). Returns uint8[N, H, W, 3]
+    (or [N, H, W] grayscale, [N, H, W, 4] CMYK); with packed (and
+    packed_layout_applies) the column-packed planar uint16 form."""
     key = (
         frame.height,
         frame.width,
@@ -259,6 +289,8 @@ def transform_batch(
     fn = _build_batch(
         key, config.idct, config.fancy_upsampling, interpret, color,
         has_dc=dcs is not None,
+        packed=packed and packed_layout_applies(frame, config, color),
+        per_image_q=getattr(qtabs[0], "ndim", 1) == 2,
     )
     args = (
         [jnp.asarray(c) for c in coeffs], [jnp.asarray(q) for q in qtabs]

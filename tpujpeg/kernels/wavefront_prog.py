@@ -960,6 +960,7 @@ class _GroupStatic:
     # width_blocks)
     comps: Tuple[Tuple[int, int, int, int, int, int], ...]
     scans: Tuple[_ScanStatic, ...]
+    frame_hw: Tuple[int, int] = (0, 0)  # true (height, width) for crop
 
 
 def _comps_static(frame) -> Tuple:
@@ -1215,27 +1216,7 @@ def _prog_chain(gs: _GroupStatic, interpret: bool):
         return fn
 
     def run(arrs, masks):
-        states = [
-            [
-                jnp.zeros((phb * pwb, 64), jnp.int32)
-                for (_h, _v, phb, pwb, _hb, _wb) in gs.comps
-            ]
-            for _ in range(gs.n_images)
-        ]
-        dcs = [
-            [
-                jnp.zeros((phb * pwb,), jnp.int32)
-                for (_h, _v, phb, pwb, _hb, _wb) in gs.comps
-            ]
-            for _ in range(gs.n_images)
-        ]
-        errs = []
-        for k, sk in enumerate(gs.scans):
-            err = _apply_static(gs, sk, states, dcs, arrs[k], masks[k],
-                                interpret)
-            if err is not None:
-                errs.append(err)
-        return states, dcs, tuple(errs)
+        return _run_scans(gs, arrs, masks, interpret)
 
     fn = jax.jit(run)
     _PROG_CHAIN_CACHE[key] = fn
@@ -1244,17 +1225,86 @@ def _prog_chain(gs: _GroupStatic, interpret: bool):
     return fn
 
 
-def build_chain_inputs(
+def _run_scans(gs: _GroupStatic, arrs, masks, interpret: bool):
+    """Traced body shared by the entropy-only and to-RGB chains: zero
+    states through every scan of the script."""
+    states = [
+        [
+            jnp.zeros((phb * pwb, 64), jnp.int32)
+            for (_h, _v, phb, pwb, _hb, _wb) in gs.comps
+        ]
+        for _ in range(gs.n_images)
+    ]
+    dcs = [
+        [
+            jnp.zeros((phb * pwb,), jnp.int32)
+            for (_h, _v, phb, pwb, _hb, _wb) in gs.comps
+        ]
+        for _ in range(gs.n_images)
+    ]
+    errs = []
+    for k, sk in enumerate(gs.scans):
+        err = _apply_static(gs, sk, states, dcs, arrs[k], masks[k],
+                            interpret)
+        if err is not None:
+            errs.append(err)
+    return states, dcs, tuple(errs)
+
+
+def _prog_rgb_chain(gs: _GroupStatic, tkey: Tuple, interpret: bool):
+    """Like _prog_chain but the ONE jitted program continues through the
+    transform stage: scan kernels + DC merges + dequant/IDCT +
+    upsample/color. A progressive group decodes to RGB in a single
+    dispatch — on this rig's relay backend the separate transform
+    dispatch alone cost ~28 ms per batch, and one program lets XLA
+    schedule the transform against the tail of the scan chain. tkey =
+    (idct, fancy, color, packed, per_image_q)."""
+    key = (gs, tkey, interpret, "rgb")
+    fn = _PROG_CHAIN_CACHE.get(key)
+    if fn is not None:
+        _PROG_CHAIN_CACHE.move_to_end(key)
+        return fn
+    idct, fancy, color, packed, per_image_q = tkey
+
+    def run(arrs, masks, qtabs):
+        from . import pipeline as kp
+
+        states, dcs, errs = _run_scans(gs, arrs, masks, interpret)
+        n = gs.n_images
+        ncomp = len(gs.comps)
+        coeff_stack = [
+            jnp.stack([states[i][ci] for i in range(n)])
+            for ci in range(ncomp)
+        ]
+        dc_stack = [
+            jnp.stack([dcs[i][ci] for i in range(n)])
+            for ci in range(ncomp)
+        ]
+        frame_key = (
+            gs.frame_hw[0], gs.frame_hw[1],
+            tuple((h, v) for (h, v, *_rest) in gs.comps),
+        )
+        tfn = kp._build_batch(
+            frame_key, idct, fancy, interpret, color,
+            has_dc=True, packed=packed, per_image_q=per_image_q,
+        )
+        rgb = tfn(coeff_stack, qtabs, dc_stack)
+        return rgb, errs
+
+    fn = jax.jit(run)
+    _PROG_CHAIN_CACHE[key] = fn
+    while len(_PROG_CHAIN_CACHE) > _PROG_CHAIN_MAX:
+        _PROG_CHAIN_CACHE.popitem(last=False)
+    return fn
+
+
+def _chain_statics(
     jpegs: Sequence[bitstream.JpegData],
     plans: Optional[List[Optional[ScanPlan]]] = None,
 ):
-    """Host prep for the jitted whole-sequence chain: per-scan plans,
-    the chain function, and its inputs. Returns (fn, arrs, masks,
-    kernel_plans); call `fn(arrs, masks)` -> (states, dcs, errs), where
-    errs aligns with kernel_plans for failure mapping. Benchmarks stage
-    `arrs` in HBM before the clock."""
+    """Shared host prep for the jitted whole-sequence chains: per-scan
+    plans -> (gs, arrs, masks, kernel_plans)."""
     n_scans = len(jpegs[0].scans)
-    interpret = jax.default_backend() != "tpu"
     if plans is None:
         plans = [
             None
@@ -1269,6 +1319,7 @@ def build_chain_inputs(
         mcus_y=jpegs[0].frame.mcus_y,
         comps=_comps_static(jpegs[0].frame),
         scans=sks,
+        frame_hw=(jpegs[0].frame.height, jpegs[0].frame.width),
     )
     arrs = tuple(
         None if p is None
@@ -1288,6 +1339,20 @@ def build_chain_inputs(
         for k in range(n_scans)
     )
     kernel_plans = [p for p in plans if p is not None]
+    return gs, arrs, masks, kernel_plans
+
+
+def build_chain_inputs(
+    jpegs: Sequence[bitstream.JpegData],
+    plans: Optional[List[Optional[ScanPlan]]] = None,
+):
+    """Host prep for the jitted whole-sequence chain: per-scan plans,
+    the chain function, and its inputs. Returns (fn, arrs, masks,
+    kernel_plans); call `fn(arrs, masks)` -> (states, dcs, errs), where
+    errs aligns with kernel_plans for failure mapping. Benchmarks stage
+    `arrs` in HBM before the clock."""
+    interpret = jax.default_backend() != "tpu"
+    gs, arrs, masks, kernel_plans = _chain_statics(jpegs, plans)
     return _prog_chain(gs, interpret), arrs, masks, kernel_plans
 
 
@@ -1320,6 +1385,64 @@ def decode_all_scans_batch(
         states[img] = None
         dcs[img] = None
     return states, dcs, failures
+
+
+def decode_all_scans_to_rgb_batch(
+    jpegs: Sequence[bitstream.JpegData],
+    config: DecodeConfig = DEFAULT_CONFIG,
+    packed: bool = False,
+) -> Tuple[jnp.ndarray, str, Dict[int, Exception]]:
+    """Full progressive decode of a matching group as ONE jitted
+    program: every scan kernel, the DC merges, dequant+IDCT and
+    upsample/color in a single dispatch (the entropy-chain +
+    separate-transform split cost an extra device round-trip per
+    group, and XLA can overlap the transform with the scan tail).
+    Returns (rgb, layout, failures): rgb[i] is image i's decode
+    (garbage when failures has i), layout 'nhwc' or 'packed16' (the
+    latter only when `packed` and the frame qualifies —
+    pipeline.packed_layout_applies). Mixed per-image quantizers are
+    fine (per-image dequant in XLA); Huffman tables must match across
+    the group (scan_group_key)."""
+    from . import pipeline as kp
+
+    for jpeg in jpegs:
+        if not jpeg.frame.progressive:
+            raise JpegUnsupportedError("not a progressive frame")
+    interpret = jax.default_backend() != "tpu"
+    gs, arrs, masks, kernel_plans = _chain_statics(jpegs)
+    frame = jpegs[0].frame
+    color = bitstream.color_space(jpegs[0])
+    want_packed = packed and kp.packed_layout_applies(
+        frame, config, color
+    )
+    qkeys = {
+        tuple(j.qtables[c.tq].tobytes() for c in frame.components)
+        for j in jpegs
+    }
+    per_image_q = len(qkeys) > 1
+    if per_image_q:
+        qtabs = [
+            jnp.asarray(
+                np.stack([j.qtables[c.tq] for j in jpegs])
+            )
+            for c in frame.components
+        ]
+    else:
+        qtabs = [
+            jnp.asarray(jpegs[0].qtables[c.tq]) for c in frame.components
+        ]
+    tkey = (
+        config.idct, config.fancy_upsampling, color, want_packed,
+        per_image_q,
+    )
+    fn = _prog_rgb_chain(gs, tkey, interpret)
+    rgb, errs = fn(arrs, masks, qtabs)
+    failures: Dict[int, Exception] = {}
+    for err, plan in zip(errs, kernel_plans):
+        e = np.asarray(err).reshape(-1)[: plan.n_lanes]
+        for img, exc in failures_from_err(e, plan.lane_meta).items():
+            failures.setdefault(img, exc)
+    return rgb, "packed16" if want_packed else "nhwc", failures
 
 
 def decode_all_scans(

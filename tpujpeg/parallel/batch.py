@@ -107,8 +107,15 @@ def decode_batch_on_device(
 
             j = jpegs[i]
             try:
-                state, dc = wavefront_prog.decode_all_scans(j, config)
-                _prog_emit(i, state, dc=dc)
+                rgb, _layout, failures = (
+                    wavefront_prog.decode_all_scans_to_rgb_batch(
+                        [j], config
+                    )
+                )
+                if 0 in failures:
+                    errors[i] = failures[0]
+                else:
+                    _prog_emit(i, None, out=rgb[0])
                 return
             except JpegUnsupportedError:
                 pass  # host entropy below — valid files never fail here
@@ -156,34 +163,18 @@ def decode_batch_on_device(
         for key, members in groups.items():
             try:
                 sub = [jpegs[i] for i in members]
-                states, dcs, failures = wavefront_prog.decode_all_scans_batch(
-                    sub, config
+                # ONE jitted program per group: scan kernels + transform
+                # (mixed quantizers fine — per-image dequant in XLA).
+                rgb, _layout, failures = (
+                    wavefront_prog.decode_all_scans_to_rgb_batch(
+                        sub, config
+                    )
                 )
                 for li, exc in failures.items():
                     errors[members[li]] = exc
-                ok = [li for li in range(len(members)) if li not in failures]
-                if not ok:
-                    continue
-                frame = sub[ok[0]].frame
-                qtabs = [
-                    jnp.asarray(sub[ok[0]].qtables[c.tq])
-                    for c in frame.components
-                ]
-                coeff_stack = [
-                    jnp.stack([states[li][ci] for li in ok])
-                    for ci in range(frame.n_components)
-                ]
-                dc_stack = [
-                    jnp.stack([dcs[li][ci] for li in ok])
-                    for ci in range(frame.n_components)
-                ]
-                out = kp.transform_batch(
-                    frame, coeff_stack, qtabs, config,
-                    color=bitstream.color_space(sub[ok[0]]),
-                    dcs=dc_stack,
-                )
-                for slot, li in enumerate(ok):
-                    _prog_emit(members[li], None, out=out[slot])
+                for li in range(len(members)):
+                    if li not in failures:
+                        _prog_emit(members[li], None, out=rgb[li])
             except JpegError:
                 # A plan-time error (truncated segments, oversize scan)
                 # poisons the shared plan: re-decode per image so one

@@ -95,8 +95,7 @@ def main():
                     )
                 else:
                     prior = jnp.zeros(
-                        (plan.n_groups, plan.n_mcus,
-                         scan.se - scan.ss + 1, 8,
+                        (plan.n_groups, plan.n_mcus, 64, 8,
                          plan.bits.shape[2]),
                         jnp.int32,
                     )
@@ -119,10 +118,9 @@ def main():
 
     # --- B: the full per-scan path (entropy state machine end-to-end).
     def full_entropy():
-        # Coefficient-major states (wavefront_prog._apply_static).
         states = [
             [
-                jnp.zeros((64, c.padded_hb, c.padded_wb), jnp.int32)
+                jnp.zeros((c.padded_hb * c.padded_wb, 64), jnp.int32)
                 for c in frame.components
             ]
         ]
@@ -163,14 +161,12 @@ def main():
         sync(states2[0][ci])
     t_chain = time.perf_counter() - t0
 
-    # --- C: transform from device-resident coefficients (block-major
-    # API view of the cm states, matching the standalone path).
+    # --- C: transform from device-resident coefficients.
     qtabs = [jnp.asarray(jpeg.qtables[c.tq]) for c in frame.components]
-    state_bm = [s.reshape(64, -1).T for s in state]
 
     def transform():
         return kernel_pipeline.transform_batch(
-            frame, [s[None] for s in state_bm], qtabs, cfg,
+            frame, [s[None] for s in state], qtabs, cfg,
             dcs=[d[None] for d in dc],
         )
 

@@ -150,7 +150,7 @@ def _color_stage(frame, expansions, planes, fancy: bool, interpret: bool,
 @functools.lru_cache(maxsize=128)
 def _build_batch(key: Tuple, idct_variant: str, fancy: bool, interpret: bool,
                  color: str, has_dc: bool = False, packed: bool = False,
-                 per_image_q: bool = False, cm_input: bool = False):
+                 per_image_q: bool = False):
     """Jitted [N, ...]-batched transform for one frame geometry. With
     has_dc, a separate per-block DC column rides in (the progressive
     decoder keeps DC out of the [blocks, 64] state — see
@@ -161,11 +161,7 @@ def _build_batch(key: Tuple, idct_variant: str, fancy: bool, interpret: bool,
     kernel — same int32 multiply, fused into the coefficient-major
     transpose, with the kernel's SMEM quantizer set to ones. packed:
     see _color_stage (column-packed planar uint16 output when the frame
-    qualifies, per packed_layout_applies). cm_input: coeffs[ci] arrives
-    COEFFICIENT-MAJOR ([64, N, padded_blocks] — the progressive chain's
-    state layout) and feeds the coefficient-major IDCT kernel with NO
-    transpose (the block-major form pays a full [N*blocks, 64]
-    transpose here)."""
+    qualifies, per packed_layout_applies)."""
     frame = _make_frame(key)
     expansions = [
         (frame.hmax // c.h, frame.vmax // c.v) for c in frame.components
@@ -173,27 +169,18 @@ def _build_batch(key: Tuple, idct_variant: str, fancy: bool, interpret: bool,
 
     def fn(coeffs: Sequence[jnp.ndarray], qtabs: Sequence[jnp.ndarray],
            dcs=None):
-        n = coeffs[0].shape[1] if cm_input else coeffs[0].shape[0]
+        n = coeffs[0].shape[0]
         planes: List[jnp.ndarray] = []
         for ci, c in enumerate(frame.components):
             nb = c.padded_hb * c.padded_wb
-            if cm_input:
-                cmNi = coeffs[ci]  # [64, N, nb]
-                if per_image_q:
-                    cmNi = cmNi * qtabs[ci].T[:, :, None]
-                    q_kernel = jnp.ones((64,), jnp.int32)
-                else:
-                    q_kernel = qtabs[ci]
-                flat = None
+            flat = coeffs[ci].reshape(n * nb, 64)
+            if per_image_q:
+                flat = (
+                    flat.reshape(n, nb, 64) * qtabs[ci][:, None, :]
+                ).reshape(n * nb, 64)
+                q_kernel = jnp.ones((64,), jnp.int32)
             else:
-                flat = coeffs[ci].reshape(n * nb, 64)
-                if per_image_q:
-                    flat = (
-                        flat.reshape(n, nb, 64) * qtabs[ci][:, None, :]
-                    ).reshape(n * nb, 64)
-                    q_kernel = jnp.ones((64,), jnp.int32)
-                else:
-                    q_kernel = qtabs[ci]
+                q_kernel = qtabs[ci]
             if has_dc:
                 # DC rides in as its own column (wavefront_prog keeps it
                 # out of the [blocks, 64] state); dequant it separately
@@ -205,8 +192,6 @@ def _build_batch(key: Tuple, idct_variant: str, fancy: bool, interpret: bool,
                         dc_flat.reshape(n, nb) * qtabs[ci][:, :1]
                     ).reshape(n * nb)
             if idct_variant == "matmul":
-                if cm_input:
-                    flat = cmNi.reshape(64, n * nb).T
                 if has_dc:
                     flat = flat.at[:, 0].set(dc_flat)
                 samples = idct_k.dequant_idct_matmul(flat, q_kernel)
@@ -215,12 +200,7 @@ def _build_batch(key: Tuple, idct_variant: str, fancy: bool, interpret: bool,
                 ).reshape(n, c.padded_hb * 8, c.padded_wb * 8)
             else:
                 pad = (-(n * nb)) % idct_k.LANE_TILE
-                if cm_input:
-                    cm = jnp.pad(
-                        cmNi.reshape(64, n * nb), ((0, 0), (0, pad))
-                    )
-                else:
-                    cm = jnp.pad(flat, ((0, pad), (0, 0))).T
+                cm = jnp.pad(flat, ((0, pad), (0, 0))).T
                 if has_dc:
                     # Raw DC when the kernel dequants (it scales row 0
                     # by q[0]); already-dequantized DC when q_kernel is

@@ -340,9 +340,6 @@ def _receive_raw(win, length, nbits):
 def _make_ac_first_kernel(static):
     (ac_tbl,), W, ss, se, al, lane_group = static
     K = lane_group // SUBLANES
-    nb = se - ss + 1  # band width: accumulator/output rows (BAND ONLY —
-    # a ss1-5 first scan scatters over 5 rows, not 64, and its output
-    # and the state update downstream move nb/64 of the old traffic)
 
     def kernel(lane_m_ref, bits_ref, out_ref, err_ref, cur_ref, end_ref,
                eob_ref, err_acc_ref, w0_ref, w1_ref, acc_ref, k_ref):
@@ -360,8 +357,7 @@ def _make_ac_first_kernel(static):
             w1_ref[:] = _load_word(bits, zero + 1, W)
 
         active = m < lane_m
-        # Row r of the accumulator holds zigzag coefficient ss + r.
-        kiota = jax.lax.broadcasted_iota(jnp.int32, (nb, SUBLANES, K), 0)
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (64, SUBLANES, K), 0)
 
         cur = cur_ref[:]
         err = err_acc_ref[:]
@@ -372,10 +368,10 @@ def _make_ac_first_kernel(static):
         busy0 = ok & ~skip
 
         # Loop state lives in scratch refs, updated in place: Mosaic
-        # copies while_loop carries every trip, and the accumulator
-        # carry alone was ~20% of the baseline kernel's time before the
-        # same fix landed there (wavefront_pallas).
-        acc_ref[:] = jnp.zeros((nb, SUBLANES, K), jnp.int32)
+        # copies while_loop carries every trip, and the [64,8,K]
+        # accumulator carry alone was ~20% of the baseline kernel's
+        # time before the same fix landed there (wavefront_pallas).
+        acc_ref[:] = jnp.zeros((64, SUBLANES, K), jnp.int32)
         k_ref[:] = jnp.where(busy0, ss, 65)
         eob_ref[:] = eob
         err_acc_ref[:] = err
@@ -401,7 +397,7 @@ def _make_ac_first_kernel(static):
             over = busy & (s > 0) & (nk > se)
             emit = busy & (s > 0) & (nk <= se)
             vmask = jnp.where(emit, val << al, 0)
-            addterm = jnp.where(kiota == (nk - ss)[None], vmask[None], 0)
+            addterm = jnp.where(kiota == nk[None], vmask[None], 0)
             extra = _receive_raw(win, alen, jnp.where(is_eob, r, 0))
             new_eob = jnp.left_shift(1, r) - 1 + extra
             _eob = jnp.where(busy & is_eob, new_eob, _eob)
@@ -447,7 +443,6 @@ def _run_ac_first(bits, lane_m, seg_bits, static, n_groups, n_mcus,
                   interpret):
     _tbls, W, ss, se, al, lane_group = static
     K = lane_group // SUBLANES
-    nb = se - ss + 1
     kern = _make_ac_first_kernel(static)
     bits = jnp.transpose(bits, (0, 3, 1, 2))
 
@@ -469,7 +464,7 @@ def _run_ac_first(bits, lane_m, seg_bits, static, n_groups, n_mcus,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, nb, SUBLANES, K),
+            pl.BlockSpec((1, 1, 64, SUBLANES, K),
                          lambda g, m: (g, m, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
@@ -477,7 +472,7 @@ def _run_ac_first(bits, lane_m, seg_bits, static, n_groups, n_mcus,
         ),
         out_shape=(
             jax.ShapeDtypeStruct(
-                (n_groups, n_mcus, nb, SUBLANES, K), jnp.int32
+                (n_groups, n_mcus, 64, SUBLANES, K), jnp.int32
             ),
             jax.ShapeDtypeStruct((n_groups, SUBLANES, K), jnp.int32),
         ),
@@ -487,7 +482,7 @@ def _run_ac_first(bits, lane_m, seg_bits, static, n_groups, n_mcus,
             pltpu.VMEM((SUBLANES, K), jnp.int32),  # error flags
             pltpu.VMEM((SUBLANES, K), jnp.int32),  # window word 0
             pltpu.VMEM((SUBLANES, K), jnp.int32),  # window word 1
-            pltpu.VMEM((nb, SUBLANES, K), jnp.int32),  # band accumulator
+            pltpu.VMEM((64, SUBLANES, K), jnp.int32),  # accumulator
             pltpu.VMEM((SUBLANES, K), jnp.int32),  # k index
         ],
         interpret=interpret,
@@ -527,24 +522,19 @@ _MODE_DONE = 2
 
 
 def _cumsum64(x):
-    """Inclusive cumsum along axis 0 via doubling steps (ceil(log2(n))
-    of them — a 5-row band pays 3, the full band 6) — concatenate on
-    the major dim lowers on Mosaic where strided/interleaved forms do
-    not (CLAUDE.md)."""
-    n = x.shape[0]
-    sh = 1
-    while sh < n:
+    """Inclusive cumsum along axis 0 (size 64) via 6 doubling steps —
+    concatenate on the major dim lowers on Mosaic where strided/
+    interleaved forms do not (CLAUDE.md)."""
+    for sh in (1, 2, 4, 8, 16, 32):
         x = x + jnp.concatenate(
             [jnp.zeros((sh,) + x.shape[1:], x.dtype), x[:-sh]], axis=0
         )
-        sh *= 2
     return x
 
 
 def _make_ac_refine_kernel(static):
     (ac_tbl,), W, ss, se, al, lane_group = static
     K = lane_group // SUBLANES
-    nb = se - ss + 1  # band width: prior/output carry ONLY the band
     p1 = 1 << al
     m1 = (-1) << al
 
@@ -566,11 +556,7 @@ def _make_ac_refine_kernel(static):
             w1_ref[:] = _load_word(bits, zero + 1, W)
 
         active = m < lane_m
-        # Row r holds zigzag coefficient ss + r; kiota carries ABSOLUTE
-        # zigzag indices so the k/kstop arithmetic below is unchanged.
-        kiota = ss + jax.lax.broadcasted_iota(
-            jnp.int32, (nb, SUBLANES, K), 0
-        )
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (64, SUBLANES, K), 0)
 
         # The updated coefficient band lives in the OUTPUT block ref
         # (not a while carry): Mosaic copies carries every trip, and
@@ -629,7 +615,7 @@ def _make_ac_refine_kernel(static):
             # (derived arithmetically below).
             run = dec & ~is_eob
             in_lo = kiota >= k[None]
-            zero_j = (cv == 0) & in_lo  # kiota <= se by construction
+            zero_j = (cv == 0) & in_lo & (kiota <= se)
             # Non-run lanes count nonzeros INSIDE their range: EOB
             # lanes' range ends past the band (se+1, set below), range-
             # continuation lanes' at their stored kstop.
@@ -644,7 +630,7 @@ def _make_ac_refine_kernel(static):
             mcum = _cumsum64(mask)
             # Nonzeros in the whole [k..bound) window, closed form — the
             # bottom row of the cumsum (static slice, no reduce).
-            row_se = mcum[nb - 1]
+            row_se = mcum[se]
             target = jnp.where(ds > 0, rr + 1, 16)
             hit = jnp.where(
                 zero_j & (mcum == target[None]), kiota, 64
@@ -755,7 +741,6 @@ def _run_ac_refine(bits, lane_m, seg_bits, prior, static, n_groups,
                    n_mcus, interpret):
     _tbls, W, ss, se, al, lane_group = static
     K = lane_group // SUBLANES
-    nb = se - ss + 1
     kern = _make_ac_refine_kernel(static)
     bits = jnp.transpose(bits, (0, 3, 1, 2))
 
@@ -777,12 +762,12 @@ def _run_ac_refine(bits, lane_m, seg_bits, prior, static, n_groups,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nb, SUBLANES, K),
+            pl.BlockSpec((1, 1, 64, SUBLANES, K),
                          lambda g, m: (g, m, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, nb, SUBLANES, K),
+            pl.BlockSpec((1, 1, 64, SUBLANES, K),
                          lambda g, m: (g, m, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
@@ -790,7 +775,7 @@ def _run_ac_refine(bits, lane_m, seg_bits, prior, static, n_groups,
         ),
         out_shape=(
             jax.ShapeDtypeStruct(
-                (n_groups, n_mcus, nb, SUBLANES, K), jnp.int32
+                (n_groups, n_mcus, 64, SUBLANES, K), jnp.int32
             ),
             jax.ShapeDtypeStruct((n_groups, SUBLANES, K), jnp.int32),
         ),
@@ -836,85 +821,30 @@ def _flat_lanes(out, G: int, M: int, B: int):
     )
 
 
-def _flat_lanes_bm(out, G: int, M: int, B: int):
-    """[G, M, B, 8, K] kernel output -> [B, G*group, M] BAND-MAJOR
-    lanes: the coefficient index leads, so a scan's contribution lands
-    in the [64, blocks] coefficient-major state as a contiguous row-band
-    update (the block-major form put the 64-wide coefficient axis in
-    the TPU minor dim, where it tile-pads to 128 — half of every state
-    byte was padding — and band updates became strided partial-tile
-    writes)."""
-    K = out.shape[-1]
-    return (
-        out.transpose(2, 0, 3, 4, 1)  # [B, G, 8, K, M]
-        .reshape(B, G * SUBLANES * K, M)
-    )
-
-
-def _img_lanes_bm(img_view: Tuple, flat_bm, ii: int, B: int):
-    """Slice image ii's lanes out of a band-major [B, lanes, M] array
-    -> [B, total_blocks]."""
-    lane0, n_seg, rows, total = img_view[ii]
-    return (
-        flat_bm[:, lane0 : lane0 + n_seg, :rows]
-        .reshape(B, -1)[:, :total]
-    )
-
-
-def _grids_to_lanes_bm(img_view, G: int, n_lanes: int, M: int, grids,
-                       lane_group: int, B: int):
-    """Per-image [B, height_blocks * width_blocks] band-major grids ->
-    one [G, M, B, 8, K] kernel input (the AC-refine prior)."""
-    K = lane_group // SUBLANES
-    chunks = []
-    for (lane0, n_seg, rows, total), grid in zip(img_view, grids):
-        flat = grid.reshape(B, -1)
-        pad = n_seg * rows - total
-        if pad:
-            flat = jnp.pad(flat, ((0, 0), (0, pad)))
-        flat = flat.reshape(B, n_seg, rows)
-        if rows < M:
-            flat = jnp.pad(flat, ((0, 0), (0, 0), (0, M - rows)))
-        chunks.append(flat)
-    lane_pad = G * lane_group - n_lanes
-    if lane_pad:
-        chunks.append(
-            jnp.zeros((B, lane_pad, M), chunks[0].dtype)
-        )
-    flat = (
-        chunks[0] if len(chunks) == 1
-        else jnp.concatenate(chunks, axis=1)
-    )
-    return (
-        flat.reshape(B, G, SUBLANES, K, M)
-        .transpose(1, 4, 0, 2, 3)  # [G, M, B, 8, K]
-    )
-
-
 def _grids_to_lanes_s(img_view, G: int, n_lanes: int, M: int, grids,
-                      lane_group: int, B: int = 64):
-    """Per-image [height_blocks, width_blocks, B] grids -> one
-    [G, M, B, 8, K] kernel input (the AC-refine prior, B = band width).
-    Images' lanes are contiguous, so this is a concat, not a scatter."""
+                      lane_group: int):
+    """Per-image [height_blocks, width_blocks, 64] grids -> one
+    [G, M, 64, 8, K] kernel input (the AC-refine prior). Images' lanes
+    are contiguous, so this is a concat, not a scatter."""
     K = lane_group // SUBLANES
     chunks = []
     for (lane0, n_seg, rows, total), grid in zip(img_view, grids):
-        flat = grid.reshape(-1, B)
+        flat = grid.reshape(-1, 64)
         pad = n_seg * rows - total
         if pad:
             flat = jnp.pad(flat, ((0, pad), (0, 0)))
-        flat = flat.reshape(n_seg, rows, B)
+        flat = flat.reshape(n_seg, rows, 64)
         if rows < M:
             flat = jnp.pad(flat, ((0, 0), (0, M - rows), (0, 0)))
         chunks.append(flat)
     lane_pad = G * lane_group - n_lanes
     if lane_pad:
-        chunks.append(jnp.zeros((lane_pad, M, B), chunks[0].dtype))
+        chunks.append(jnp.zeros((lane_pad, M, 64), chunks[0].dtype))
     flat = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
     return (
-        flat.reshape(G, SUBLANES, K, M * B)
+        flat.reshape(G, SUBLANES, K, M * 64)
         .transpose(0, 3, 1, 2)
-        .reshape(G, M, B, SUBLANES, K)
+        .reshape(G, M, 64, SUBLANES, K)
     )
 
 
@@ -1112,20 +1042,15 @@ def _apply_static(
     arrs, masks, interpret: bool,
 ):
     """One scan of the group against the (traced or eager) coefficient
-    states. states[i][ci] holds the AC coefficients COEFFICIENT-MAJOR
-    ([64, padded_hb, padded_wb] zigzag, row 0 always zero): the block-
-    major [blocks, 64] form put the coefficient axis in the TPU minor
-    dim (tile-padded 64 -> 128, so half of every state byte was
-    padding), and band updates were strided partial-tile writes; in
-    coefficient-major form a ss..se scan touches whole row-bands and
-    the transform stage starts from this layout with NO transpose.
-    dcs[i][ci] is the DC column ([padded_blocks]) — kept separate so DC
-    scans never pay a row write into the big state (see
-    _scatter_dc_s). arrs = (bits, lane_m, seg_bits) for kernel scans,
-    None for DC refinement; masks = per-image tuples of OR-masks for DC
-    refinement, () otherwise. Returns the kernel's error vector, or
-    None for DC refinement. Pure function of its inputs given the
-    statics — the whole scan sequence jits as one chain."""
+    states. states[i][ci] holds the AC coefficients ([padded_blocks,
+    64] zigzag, column 0 always zero); dcs[i][ci] the DC column
+    ([padded_blocks]) — kept separate so DC scans never pay a column
+    write into the big state (see _scatter_dc_s). arrs = (bits, lane_m,
+    seg_bits) for kernel scans, None for DC refinement; masks =
+    per-image tuples of OR-masks for DC refinement, () otherwise.
+    Returns the kernel's error vector, or None for DC refinement. Pure
+    function of its inputs given the statics — the whole scan sequence
+    jits as one chain."""
     if sk.kind == "dc_refine":
         for ii in range(gs.n_images):
             for j, mask in enumerate(masks[ii]):
@@ -1152,44 +1077,38 @@ def _apply_static(
     _h, _v, phb, pwb, hb, wb = gs.comps[ci]
     static = (sk.tbls, sk.W, sk.ss, sk.se, sk.al, sk.lane_group)
 
-    nb = sk.se - sk.ss + 1  # kernels carry the BAND only
     if sk.kind == "ac_first":
         out, err = run_ac_first_jit(
             bits, lane_m, seg_bits, static, sk.G, sk.M, interpret
         )
-        flat = _flat_lanes_bm(out, sk.G, sk.M, nb)
+        flat = _flat_lanes(out, sk.G, sk.M, 64)
         for ii in range(gs.n_images):
-            grid = _img_lanes_bm(sk.img_view, flat, ii, nb).reshape(
-                nb, hb, wb
+            grid = _img_lanes_s(sk.img_view, flat, ii, 64).reshape(
+                hb, wb, 64
             )
-            states[ii][ci] = (
-                states[ii][ci]
-                .at[sk.ss : sk.se + 1, :hb, :wb]
-                .add(grid)
-            )
+            full = states[ii][ci].reshape(phb, pwb, 64)
+            full = full.at[:hb, :wb].add(grid)
+            states[ii][ci] = full.reshape(-1, 64)
         return err
 
     # AC refine: prior band values ride into the kernel per block.
-    priors = [
-        states[ii][ci][sk.ss : sk.se + 1, :hb, :wb]
-        for ii in range(gs.n_images)
-    ]
-    prior = _grids_to_lanes_bm(
-        sk.img_view, sk.G, sk.n_lanes, sk.M, priors, sk.lane_group, nb
+    fulls = []
+    priors = []
+    for ii in range(gs.n_images):
+        full = states[ii][ci].reshape(phb, pwb, 64)
+        fulls.append(full)
+        priors.append(full[:hb, :wb])
+    prior = _grids_to_lanes_s(
+        sk.img_view, sk.G, sk.n_lanes, sk.M, priors, sk.lane_group
     )
     out, err = run_ac_refine_jit(
         bits, lane_m, seg_bits, prior, static, sk.G, sk.M, interpret
     )
-    flat = _flat_lanes_bm(out, sk.G, sk.M, nb)
+    flat = _flat_lanes(out, sk.G, sk.M, 64)
     for ii in range(gs.n_images):
-        grid = _img_lanes_bm(sk.img_view, flat, ii, nb).reshape(
-            nb, hb, wb
-        )
-        states[ii][ci] = (
-            states[ii][ci]
-            .at[sk.ss : sk.se + 1, :hb, :wb]
-            .set(grid)
-        )
+        grid = _img_lanes_s(sk.img_view, flat, ii, 64).reshape(hb, wb, 64)
+        full = fulls[ii].at[:hb, :wb].set(grid)
+        states[ii][ci] = full.reshape(-1, 64)
     return err
 
 
@@ -1200,9 +1119,8 @@ def apply_scan_batch(
     errs_out: Optional[list] = None,
 ) -> None:
     """Apply scan index k of every image in the group to its
-    device-resident coefficient grids (states[i][ci]: COEFFICIENT-MAJOR
-    int32[64, padded_hb, padded_wb] AC-only jnp arrays — see
-    _apply_static; dcs[i][ci]:
+    device-resident coefficient grids (states[i][ci]:
+    int32[padded_hb*padded_wb, 64] AC-only jnp arrays; dcs[i][ci]:
     int32[padded_hb*padded_wb] DC columns), mutating in place —
     the EAGER driver over _apply_static (decode_all_scans_batch runs
     the same logic as one jitted chain instead). With errs_out, error
@@ -1298,15 +1216,7 @@ def _prog_chain(gs: _GroupStatic, interpret: bool):
         return fn
 
     def run(arrs, masks):
-        states, dcs, errs = _run_scans(gs, arrs, masks, interpret)
-        # Public contract of the entropy-only chain: block-major
-        # [padded_blocks, 64] grids (one transpose per component here;
-        # the to-RGB chain skips it and feeds the coefficient-major
-        # state straight into the transform).
-        states = [
-            [s.reshape(64, -1).T for s in per_img] for per_img in states
-        ]
-        return states, dcs, errs
+        return _run_scans(gs, arrs, masks, interpret)
 
     fn = jax.jit(run)
     _PROG_CHAIN_CACHE[key] = fn
@@ -1317,11 +1227,10 @@ def _prog_chain(gs: _GroupStatic, interpret: bool):
 
 def _run_scans(gs: _GroupStatic, arrs, masks, interpret: bool):
     """Traced body shared by the entropy-only and to-RGB chains: zero
-    states through every scan of the script. States are COEFFICIENT-
-    MAJOR [64, phb, pwb] (see _apply_static)."""
+    states through every scan of the script."""
     states = [
         [
-            jnp.zeros((64, phb, pwb), jnp.int32)
+            jnp.zeros((phb * pwb, 64), jnp.int32)
             for (_h, _v, phb, pwb, _hb, _wb) in gs.comps
         ]
         for _ in range(gs.n_images)
@@ -1363,14 +1272,8 @@ def _prog_rgb_chain(gs: _GroupStatic, tkey: Tuple, interpret: bool):
         states, dcs, errs = _run_scans(gs, arrs, masks, interpret)
         n = gs.n_images
         ncomp = len(gs.comps)
-        # States are coefficient-major [64, phb, pwb]; stack images on
-        # axis 1 -> [64, N, blocks] and feed the transform with NO
-        # block-major transpose (cm_input).
-        coeff_cm = [
-            jnp.stack(
-                [states[i][ci].reshape(64, -1) for i in range(n)],
-                axis=1,
-            )
+        coeff_stack = [
+            jnp.stack([states[i][ci] for i in range(n)])
             for ci in range(ncomp)
         ]
         dc_stack = [
@@ -1384,9 +1287,8 @@ def _prog_rgb_chain(gs: _GroupStatic, tkey: Tuple, interpret: bool):
         tfn = kp._build_batch(
             frame_key, idct, fancy, interpret, color,
             has_dc=True, packed=packed, per_image_q=per_image_q,
-            cm_input=True,
         )
-        rgb = tfn(coeff_cm, qtabs, dc_stack)
+        rgb = tfn(coeff_stack, qtabs, dc_stack)
         return rgb, errs
 
     fn = jax.jit(run)

@@ -143,19 +143,15 @@ def test_prog_batch_matches_oracle_shared_tables():
 
 def test_prog_to_rgb_merged_chain_bit_exact():
     """decode_all_scans_to_rgb_batch: the ONE-dispatch chain (scan
-    kernels + DC merges + transform) matches PIL bit-for-bit in both
-    output layouts."""
+    kernels + DC merges + transform) matches PIL bit-for-bit in the
+    packed16 layout (the bench form; the nhwc form is exercised by the
+    batch-ladder tests, which route progressive groups through the
+    same merged chain)."""
     data = make_jpeg(168, 120, seed=33, progressive=True, subsampling=2,
                      restart_blocks=4)
     jpegs = [bitstream.parse(data) for _ in range(2)]
     cfg = DecodeConfig(transform_engine="pallas")
     ref = np.asarray(Image.open(io.BytesIO(data)))
-    rgb, layout, failures = wprog.decode_all_scans_to_rgb_batch(
-        jpegs, cfg
-    )
-    assert layout == "nhwc" and not failures
-    for i in range(2):
-        np.testing.assert_array_equal(np.asarray(rgb[i]), ref)
     rgbp, layoutp, failp = wprog.decode_all_scans_to_rgb_batch(
         jpegs, cfg, packed=True
     )

@@ -225,10 +225,12 @@ def test_scan_walk_matches_serial_reference():
         )
 
 
-def test_parse_fills_destuffed_segments():
-    """parse() carries the fused walk's destuffed buffer on every scan,
-    and it matches the python split+destuff reference byte for byte."""
+def test_destuff_segments_caches_on_scan():
+    """destuff_segments caches its buffer on the Scan (the skeleton
+    flow destuffs repeatedly) and the cache matches the python
+    split+destuff reference byte for byte."""
     from corpus import make_jpeg
+    from tpujpeg.native import entropy as native_entropy
 
     for kw in [
         dict(),
@@ -239,7 +241,11 @@ def test_parse_fills_destuffed_segments():
         data = make_jpeg(168, 120, seed=4, quality=90, **kw)
         j = bs.parse(data)
         for scan in j.scans:
+            assert scan.destuffed is None  # parse stays two-pass
+            buf, starts = native_entropy.destuff_segments(scan)
             assert scan.destuffed is not None
+            buf2, starts2 = native_entropy.destuff_segments(scan)
+            assert buf2 is buf and starts2 is starts  # served from cache
             pieces = bs.split_restart_segments(scan)
             assert scan.destuffed.tobytes() == b"".join(pieces)
             lens = [len(p) for p in pieces]

@@ -118,7 +118,8 @@ def test_rows_from_dest_matches_destuff_rows():
     data = make_jpeg(200, 144, seed=4, subsampling=2, restart_blocks=3)
     jpeg = bitstream.parse(data)
     scan = jpeg.scans[0]
-    assert scan.destuffed is not None  # parse ran the fused walk
+    native_entropy.destuff_segments(scan)  # populate the Scan cache
+    assert scan.destuffed is not None
     n_seg = len(scan.rst_offsets) + 1
     lens = np.diff(np.asarray(scan.dseg_starts[: n_seg + 1]))
     W = int(lens.max()) // 4 + 2

@@ -170,13 +170,14 @@ class Scan:
     # Table state snapshots at scan start (tables may be redefined
     # between scans in progressive files):
     huff: Dict[Tuple[int, int], HuffSpec] = dataclasses.field(default_factory=dict)
-    # Destuffed payload, filled by parse() when the native fused scan
-    # walk is available (tj_scan_walk reads the stream once for both the
-    # terminator hunt and the destuff): `destuffed` holds every
-    # segment's entropy bytes back to back and `dseg_starts[i]` is
-    # segment i's start offset (last entry = total length). None when
-    # only the python parser ran — consumers fall back to destuffing
-    # from `data`.
+    # Destuffed-payload cache, filled by native.entropy.destuff_segments
+    # on first use (the skeleton/no-restart flows destuff repeatedly —
+    # build_norst_plan retries its split width up to 6x): `destuffed`
+    # holds every segment's entropy bytes back to back and
+    # `dseg_starts[i]` is segment i's start offset (last entry = total
+    # length). None until a destuff-consuming flow runs; the fused-plan
+    # row fill then uses the cache (rows_from_dest) instead of a second
+    # memchr walk.
     destuffed: Optional[np.ndarray] = None
     dseg_starts: Optional[np.ndarray] = None
 
@@ -295,28 +296,31 @@ def _find_scan_end(data: bytes, start: int) -> Tuple[int, List[int]]:
 _NATIVE_SCAN_END = 0  # 0 = untried, 1 = available, -1 = unavailable
 
 
-def _scan_end(data: bytes, start: int):
-    """Scan-payload walk via the native FUSED pass (tj_scan_walk: finds
-    the terminator, records RSTn offsets AND destuffs in one read of the
-    stream — the destuffed buffer rides along so build_block_plan's row
-    fill needs no second memchr walk), falling back to the vectorized
-    Python classifier otherwise. Returns (end, rst_offsets, destuffed,
-    seg_starts) with the last two None on the fallback. The (end,
-    rst_offsets) half is pinned to the byte-serial reference by
-    tests/test_bitstream.py; the destuffed half to destuff_segments by
-    tests/test_native.py."""
+def _scan_end(data: bytes, start: int) -> Tuple[int, List[int]]:
+    """_find_scan_end via the native memchr walk when the C++ library is
+    buildable (parse's hot loop: ~10x the numpy classifier), falling back
+    to the vectorized Python version otherwise. Both are pinned to the
+    byte-serial reference by tests/test_bitstream.py.
+
+    Measured and rejected here: the FUSED walk (tj_scan_walk — end +
+    RSTn + destuff in one read) makes parse carry a destuffed copy of
+    every scan, and that intermediate buffer's extra write+read costs
+    more than the second memchr pass it saves (86 MB corpus, q85-q98:
+    two-pass 31-75 ms vs fused 40-86 ms). The fused primitive remains
+    for destuff-consuming flows via native.entropy.scan_walk;
+    destuff_segments() caches its result on the Scan so those flows
+    destuff once."""
     global _NATIVE_SCAN_END
     if _NATIVE_SCAN_END >= 0:
         try:
             from .native import entropy as _native
 
-            end, rsts, dest, starts = _native.scan_walk(data, start)
+            end, rsts = _native.find_scan_end(data, start)
             _NATIVE_SCAN_END = 1
-            return end, rsts, dest, starts
+            return end, rsts
         except Exception:  # no g++ / build failure: never fatal here
             _NATIVE_SCAN_END = -1
-    end, rsts = _find_scan_end(data, start)
-    return end, rsts, None, None
+    return _find_scan_end(data, start)
 
 
 def parse(data: bytes) -> JpegData:
@@ -451,7 +455,7 @@ def parse(data: bytes) -> JpegData:
                     raise JpegSyntaxError("progressive DC scan must have Se=0")
                 if ss > 0 and ns != 1:
                     raise JpegSyntaxError("progressive AC scan must be single-component")
-            end, rsts, dest, dstarts = _scan_end(data, cur.pos)
+            end, rsts = _scan_end(data, cur.pos)
             scan = Scan(
                 comp_indices=comp_indices,
                 dc_ids=dc_ids,
@@ -469,8 +473,6 @@ def parse(data: bytes) -> JpegData:
                 data=memoryview(data)[cur.pos : end],
                 rst_offsets=rsts,
                 huff=dict(htables),
-                destuffed=dest,
-                dseg_starts=dstarts,
             )
             scans.append(scan)
             cur.pos = end

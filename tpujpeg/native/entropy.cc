@@ -1178,7 +1178,11 @@ int64_t tj_destuff_segments(const uint8_t* scan_data, int64_t scan_len,
 // One-pass scan walk: tj_find_scan_end + tj_destuff_segments fused so
 // the multi-megabyte scan payload is read ONCE (the terminator walk
 // already memchr-touches every byte; the destuffed copy rides the same
-// runs — this was the host prep stage's second full-stream read).
+// runs). NOTE: measured on this host, parse()+destuff_rows (two memchr
+// passes, rows written directly) beats walk+rows_from_dest (one pass +
+// an intermediate buffer's extra write+read), so parse does NOT use
+// this by default — it serves flows that need end + segment table +
+// destuffed bytes together.
 // Semantics are the exact union of the two: the walk classifies every
 // 0xFF pair (T.81 §B.1.1.5 stuffing, §B.1.1.2 fill, §E.2.4 RSTn), and
 // `out` (callee-sized >= n - start) receives the destuffed entropy

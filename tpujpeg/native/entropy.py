@@ -141,9 +141,10 @@ def destuff_segments(scan: bitstream.Scan) -> Tuple[np.ndarray, np.ndarray]:
     buffer and seg_starts[-1] its total length — the segment index table
     shipped to the device wavefront decoder (SURVEY.md §3.4).
 
-    When parse() already ran the fused scan walk the result is served
-    from Scan.destuffed without touching the stream again (identical
-    layout; callers treat the buffer as read-only)."""
+    The result is cached on the Scan (destuffed / dseg_starts): the
+    no-restart skeleton flow destuffs repeatedly (build_norst_plan
+    retries its split width), and the wavefront row fill reuses the
+    cache via rows_from_dest. Callers treat the buffer as read-only."""
     if scan.destuffed is not None and scan.dseg_starts is not None:
         return scan.destuffed, scan.dseg_starts
     lib = build_mod.get_lib()
@@ -160,7 +161,9 @@ def destuff_segments(scan: bitstream.Scan) -> Tuple[np.ndarray, np.ndarray]:
         out.ctypes.data_as(ctypes.c_void_p),
         starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
-    return out[:total], starts
+    scan.destuffed = out[:total]
+    scan.dseg_starts = starts
+    return scan.destuffed, scan.dseg_starts
 
 
 def _blocks_sp(jpeg: bitstream.JpegData, scan: bitstream.Scan):
@@ -294,8 +297,11 @@ def scan_walk(
     seg_starts_i64). rst_offsets are stuffed-byte offsets relative to
     `start` (identical to find_scan_end); seg_starts[i] is segment i's
     start in the destuffed buffer with seg_starts[-1] its total length
-    (identical to destuff_segments). parse() calls this so the stream is
-    read once instead of once to find the end and again to destuff."""
+    (identical to destuff_segments). Measured NOT worth wiring into
+    parse() by default: the intermediate destuffed buffer's extra
+    write+read loses to the second memchr pass it saves on this host
+    (bitstream._scan_end docstring has the numbers) — available for
+    flows that want end + segments + destuffed bytes in one read."""
     lib = build_mod.get_lib()
     n = len(data)
     out = np.empty(max(n - start, 1), dtype=np.uint8)

@@ -1507,11 +1507,16 @@ def _rgb_chain(plan: BlockPlan, jpegs, config, interpret: bool,
 def decode_batch_to_rgb(
     jpegs: Sequence[bitstream.JpegData],
     config: DecodeConfig = DEFAULT_CONFIG,
-) -> Tuple[Optional[jnp.ndarray], Dict[int, Exception]]:
+    defer_errors: bool = False,
+) -> Tuple[Optional[jnp.ndarray], object]:
     """Fully fused on-chip decode: ONE XLA program runs the wavefront+
     IDCT kernel, pixel assembly and the upsample/color kernels — RGB in
     HBM, coefficients never materialized. Returns ([N, H, W, 3] or
-    [N, H, W] device array, failures)."""
+    [N, H, W] device array, failures). With defer_errors the second
+    element is the opaque (err, plan) pair for resolve_rgb_errors —
+    nothing is read back, so a caller can dispatch several buckets'
+    chains and the device overlaps them instead of serializing on
+    per-bucket error syncs."""
     plan = build_block_plan(jpegs)
     if not plan.qsets:
         raise JpegUnsupportedError(
@@ -1526,8 +1531,16 @@ def decode_batch_to_rgb(
         jnp.asarray(plan.seg_bits),
         jnp.asarray(plan.lane_qset),
     )
+    if defer_errors:
+        return rgb, (err, plan)
+    return rgb, resolve_rgb_errors(err, plan)
+
+
+def resolve_rgb_errors(err, plan: "BlockPlan") -> Dict[int, Exception]:
+    """Force a deferred decode_batch_to_rgb error vector (the chain's
+    first readback) and map it to per-image failures."""
     errs = np.asarray(err).reshape(-1)[: plan.n_lanes]
-    return rgb, failures_from_err(errs, plan.lane_meta)
+    return failures_from_err(errs, plan.lane_meta)
 
 
 # ---------------------------------------------------------------------------

@@ -1391,7 +1391,8 @@ def decode_all_scans_to_rgb_batch(
     jpegs: Sequence[bitstream.JpegData],
     config: DecodeConfig = DEFAULT_CONFIG,
     packed: bool = False,
-) -> Tuple[jnp.ndarray, str, Dict[int, Exception]]:
+    defer_errors: bool = False,
+) -> Tuple[jnp.ndarray, str, object]:
     """Full progressive decode of a matching group as ONE jitted
     program: every scan kernel, the DC merges, dequant+IDCT and
     upsample/color in a single dispatch (the entropy-chain +
@@ -1402,7 +1403,10 @@ def decode_all_scans_to_rgb_batch(
     latter only when `packed` and the frame qualifies —
     pipeline.packed_layout_applies). Mixed per-image quantizers are
     fine (per-image dequant in XLA); Huffman tables must match across
-    the group (scan_group_key)."""
+    the group (scan_group_key). With defer_errors the third element is
+    instead the opaque (errs, kernel_plans) pair for
+    resolve_scan_errors — no readback happens, so a caller can
+    dispatch many groups back to back and the device overlaps them."""
     from . import pipeline as kp
 
     for jpeg in jpegs:
@@ -1437,12 +1441,27 @@ def decode_all_scans_to_rgb_batch(
     )
     fn = _prog_rgb_chain(gs, tkey, interpret)
     rgb, errs = fn(arrs, masks, qtabs)
+    layout = "packed16" if want_packed else "nhwc"
+    if defer_errors:
+        # Async contract: nothing is read back here, so a caller can
+        # DISPATCH several groups' chains before resolving any — on a
+        # high-dispatch-latency runtime the groups then overlap on
+        # device instead of serializing on per-group error syncs (the
+        # common progressive batch is all singleton groups: libjpeg
+        # optimizes Huffman tables per image).
+        return rgb, layout, (errs, kernel_plans)
+    return rgb, layout, resolve_scan_errors(errs, kernel_plans)
+
+
+def resolve_scan_errors(errs, kernel_plans) -> Dict[int, Exception]:
+    """Force the deferred error vectors (the first readback of the
+    group's chain) and map them to per-image failures."""
     failures: Dict[int, Exception] = {}
     for err, plan in zip(errs, kernel_plans):
         e = np.asarray(err).reshape(-1)[: plan.n_lanes]
         for img, exc in failures_from_err(e, plan.lane_meta).items():
             failures.setdefault(img, exc)
-    return rgb, "packed16" if want_packed else "nhwc", failures
+    return failures
 
 
 def decode_all_scans(

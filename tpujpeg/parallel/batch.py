@@ -160,21 +160,23 @@ def decode_batch_on_device(
             st.transform_engine = "pallas"
             stats[i] = st
 
+        # Two phases: DISPATCH every group's one-jit chain (no
+        # readbacks — the async dispatches overlap on device, which
+        # matters because distinct progressive files rarely share
+        # Huffman tables and so decode as singleton groups), then
+        # RESOLVE each group's deferred error vectors in order.
+        pending = []
         for key, members in groups.items():
             try:
                 sub = [jpegs[i] for i in members]
                 # ONE jitted program per group: scan kernels + transform
                 # (mixed quantizers fine — per-image dequant in XLA).
-                rgb, _layout, failures = (
+                rgb, _layout, deferred = (
                     wavefront_prog.decode_all_scans_to_rgb_batch(
-                        sub, config
+                        sub, config, defer_errors=True
                     )
                 )
-                for li, exc in failures.items():
-                    errors[members[li]] = exc
-                for li in range(len(members)):
-                    if li not in failures:
-                        _prog_emit(members[li], None, out=rgb[li])
+                pending.append((members, rgb, deferred))
             except JpegError:
                 # A plan-time error (truncated segments, oversize scan)
                 # poisons the shared plan: re-decode per image so one
@@ -182,6 +184,20 @@ def decode_batch_on_device(
                 for i in members:
                     _prog_one(i)
             except Exception:
+                for i in members:
+                    _prog_one(i)
+        for members, rgb, (errs_d, plans_d) in pending:
+            try:
+                failures = wavefront_prog.resolve_scan_errors(
+                    errs_d, plans_d
+                )
+                for li, exc in failures.items():
+                    errors[members[li]] = exc
+                for li in range(len(members)):
+                    if li not in failures:
+                        _prog_emit(members[li], None, out=rgb[li])
+            except Exception:
+                # A runtime failure surfacing at readback: isolate.
                 for i in members:
                     _prog_one(i)
 
@@ -202,33 +218,50 @@ def decode_batch_on_device(
 
     from ..kernels import wavefront_pallas
 
+    def record(i, img, engine, frame, ncomp):
+        images[i] = np.asarray(img) if config.to_numpy else img
+        st = DecodeStats()
+        st.width, st.height = frame.width, frame.height
+        st.n_components = ncomp
+        st.entropy_engine = engine
+        st.entropy_fallbacks = 0 if engine == "wavefront-fused" else 1
+        st.transform_engine = "pallas"
+        stats[i] = st
+
+    # Two phases over the buckets: DISPATCH every bucket's fused chain
+    # without reading anything back (async dispatches overlap on
+    # device — per-bucket error syncs serialized mixed-geometry batches
+    # on the dispatch round-trip), then RESOLVE the deferred error
+    # vectors; buckets the fused path rejects queue for the slow path.
+    pending_rgb = []
+    slow = []
     for _key, members in buckets.items():
         sub = [jpegs[i] for i in members]
         frame = sub[0].frame
         ncomp = frame.n_components
-
-        def record(i, img, engine):
-            images[i] = np.asarray(img) if config.to_numpy else img
-            st = DecodeStats()
-            st.width, st.height = frame.width, frame.height
-            st.n_components = ncomp
-            st.entropy_engine = engine
-            st.entropy_fallbacks = 0 if engine == "wavefront-fused" else 1
-            st.transform_engine = "pallas"
-            stats[i] = st
-
         try:
-            rgb, failures = wavefront_pallas.decode_batch_to_rgb(sub, config)
+            rgb, deferred = wavefront_pallas.decode_batch_to_rgb(
+                sub, config, defer_errors=True
+            )
+            pending_rgb.append((members, sub, frame, ncomp, rgb, deferred))
         except JpegError:
-            rgb = None
-        if rgb is not None:
-            for local_i, i in enumerate(members):
-                if local_i in failures:
-                    errors[i] = failures[local_i]
-                else:
-                    record(i, rgb[local_i], "wavefront-fused")
-            continue
+            slow.append((members, sub, frame, ncomp))
 
+    for members, sub, frame, ncomp, rgb, (err_d, plan_d) in pending_rgb:
+        try:
+            failures = wavefront_pallas.resolve_rgb_errors(err_d, plan_d)
+        except Exception:
+            # Runtime failure surfacing at readback: slow-path the
+            # whole bucket so per-image isolation applies.
+            slow.append((members, sub, frame, ncomp))
+            continue
+        for local_i, i in enumerate(members):
+            if local_i in failures:
+                errors[i] = failures[local_i]
+            else:
+                record(i, rgb[local_i], "wavefront-fused", frame, ncomp)
+
+    for members, sub, frame, ncomp in slow:
         # Coefficient fallback for this bucket.
         try:
             coeffs_dev, failures = wavefront_pallas.decode_batch_to_device(
@@ -258,7 +291,8 @@ def decode_batch_on_device(
                 for li, exc in fused_failed.items():
                     errors[members[li]] = exc
                 for li, img in fused_imgs.items():
-                    record(members[li], img, "wavefront-skeleton")
+                    record(members[li], img, "wavefront-skeleton", frame,
+                           ncomp)
                 continue
             except JpegUnsupportedError:
                 coeffs_dev, failures = wavefront.decode_batch_to_device(
@@ -293,7 +327,7 @@ def decode_batch_on_device(
                 color=bitstream.color_space(sub[q_members[0]]),
             )
             for slot, li in enumerate(q_members):
-                record(members[li], out[slot], engine)
+                record(members[li], out[slot], engine, frame, ncomp)
 
     return BatchResult(images=images, errors=errors, stats=stats)
 

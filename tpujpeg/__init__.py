@@ -27,7 +27,11 @@ if not _os.environ.get("TPUJPEG_NO_COMPILE_CACHE"):
     )
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # Cache EVERY compile: the test suite's fault-injection and
+        # multi-geometry cases trip hundreds of sub-second CPU compiles
+        # that a min-compile-time threshold silently recompiles every
+        # process (~45 min of a suite run before this was 0.5 s).
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass

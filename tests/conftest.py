@@ -21,6 +21,12 @@ if not os.environ.get("TPUJPEG_TEST_TPU"):
 
     jax.config.update("jax_platforms", "cpu")
 
+    # Per-machine CPU cache namespace: XLA:CPU AOT executables embed the
+    # compile host's feature set and won't load across rigs.
+    import tpujpeg
+
+    tpujpeg.use_cpu_cache_namespace()
+
 import pytest  # noqa: E402
 
 

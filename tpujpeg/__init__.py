@@ -20,13 +20,53 @@ import jax as _jax
 # process otherwise, which costs minutes per run on remote-compile TPU
 # backends (SURVEY.md §2.2 #21 — kernel compilation is a first-class
 # runtime component). Opt out with TPUJPEG_NO_COMPILE_CACHE=1.
-if not _os.environ.get("TPUJPEG_NO_COMPILE_CACHE"):
-    _cache_dir = _os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "tpujpeg-xla"),
-    )
+def _cpu_fingerprint() -> str:
+    """Short hash of this host's CPU model+flags. XLA:CPU AOT executables
+    embed the compile machine's feature set and refuse to load on a host
+    whose features differ (cpu_aot_loader 'Target machine feature ... is
+    not supported'), so CPU cache entries must be namespaced per machine
+    — the cache directory survives rig changes between rounds and a
+    foreign entry spews a loader error on every hit attempt and never
+    hits (VERDICT r4 weak #5)."""
+    import hashlib
+    import re
+
     try:
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        txt = open("/proc/cpuinfo").read()
+        model = re.search(r"model name\s*:\s*(.*)", txt)
+        flags = re.search(r"flags\s*:\s*(.*)", txt)
+        key = (model.group(1) if model else "") + "|" + (
+            flags.group(1) if flags else ""
+        )
+    except OSError:
+        key = "unknown"
+    return hashlib.sha256(key.encode()).hexdigest()[:12]
+
+
+def use_cpu_cache_namespace() -> None:
+    """Switch the persistent XLA compile cache to this machine's CPU
+    namespace subdirectory. Call after forcing jax_platforms=cpu (done
+    automatically when tpujpeg is imported with the platform already
+    forced, e.g. under tests/conftest.py). TPU/axon executables are
+    compiled remotely and load on any host, so the TPU cache stays in
+    the shared base directory."""
+    if _os.environ.get("TPUJPEG_NO_COMPILE_CACHE"):
+        return
+    sub = _os.path.join(_CACHE_BASE, "cpu-" + _cpu_fingerprint())
+    try:
+        _jax.config.update("jax_compilation_cache_dir", sub)
+    except Exception:
+        pass
+
+
+_CACHE_BASE = _os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "tpujpeg-xla"),
+)
+
+if not _os.environ.get("TPUJPEG_NO_COMPILE_CACHE"):
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _CACHE_BASE)
         # Cache EVERY compile: the test suite's fault-injection and
         # multi-geometry cases trip hundreds of sub-second CPU compiles
         # that a min-compile-time threshold silently recompiles every
@@ -35,6 +75,8 @@ if not _os.environ.get("TPUJPEG_NO_COMPILE_CACHE"):
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
+    if getattr(_jax.config, "jax_platforms", None) == "cpu":
+        use_cpu_cache_namespace()
 
 from .config import DEFAULT_CONFIG, DecodeConfig
 from .decoder import decode, decode_file
@@ -50,6 +92,7 @@ from .stats import DecodeStats
 __version__ = "0.1.0"
 
 __all__ = [
+    "use_cpu_cache_namespace",
     "decode",
     "decode_file",
     "DecodeConfig",

@@ -48,7 +48,8 @@ def main() -> int:
     quality = int(os.environ.get("BENCH_QUALITY", "85"))
     nimg = int(os.environ.get("BENCH_BATCH", "128"))
     nchunks = int(os.environ.get("BENCH_CHUNKS", "3"))
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
+    max_retries = int(os.environ.get("BENCH_MAX_RETRIES", "5"))
     rst = int(os.environ.get("BENCH_RESTART_BLOCKS", "4"))
     # All 4 host cores prep: the main thread spends its time blocked on
     # device completions (GIL released), so prep workers = cpu count.
@@ -160,9 +161,56 @@ def main() -> int:
         pool.shutdown()
         return dt
 
+    # --- Infra-health probe: chip-only decode of one staged chunk with
+    # an already-compiled program. Everything is cached and resident in
+    # HBM, so this rate moves ONLY when the relay/chip infrastructure
+    # degrades (round 4 recorded identical programs swinging 4489-4749
+    # MP/s idle and the driver window landing 32% below the same-day
+    # idle capability). BENCH_REF.json records this rig's known-healthy
+    # probe rate; a window whose preceding probe is >15% below it is
+    # re-run (bounded), and the JSON is tagged degraded_infra if the
+    # probe never recovers. ---
+    ref_path = os.path.join(os.path.dirname(__file__), "BENCH_REF.json")
+    probe_ref = None
+    try:
+        with open(ref_path) as f:
+            probe_ref = float(json.load(f)["probe_chip_chunk_mp_per_s"])
+    except (OSError, KeyError, ValueError):
+        pass
+
+    def probe() -> float:
+        fn, bits, lane_m, seg_bits, lane_q, plan = staged[0]
+        t0 = time.perf_counter()
+        rgb, err = fn(bits, lane_m, seg_bits, lane_q)
+        _ = np.asarray(err).reshape(-1)[:1]  # sync
+        return chunk_mp / (time.perf_counter() - t0)
+
+    def probe_healthy(rate: float) -> bool:
+        return probe_ref is None or rate >= 0.85 * probe_ref
+
     pipelined_once()  # warm the thread pool path once
-    wall = min(pipelined_once() for _ in range(repeats))
+    windows = []      # [(wall_s, probe_mp_s_before), ...]
+    degraded_windows = 0
+    attempts = 0
+    while len(windows) < repeats and attempts < repeats + max_retries:
+        attempts += 1
+        p = probe()
+        if not probe_healthy(p):
+            degraded_windows += 1
+            if attempts < repeats + max_retries:
+                time.sleep(15.0)  # give the shared relay a chance to drain
+                continue
+        windows.append((pipelined_once(), p))
+        time.sleep(2.0)  # space the windows instead of back-to-back
+    if not windows:  # probe never recovered: measure anyway, tagged
+        windows = [(pipelined_once(), probe()) for _ in range(repeats)]
+    degraded = degraded_windows > 0 and not probe_healthy(
+        max(p for _, p in windows)
+    )
+    wall = min(w for w, _ in windows)
     value = total_mp / wall
+    window_rates = [round(total_mp / w, 1) for w, _ in windows]
+    probe_rates = [round(p, 1) for _, p in windows]
 
     # --- Chip-only rate (no concurrent prep), for the detail table. ---
     t0 = time.perf_counter()
@@ -204,6 +252,11 @@ def main() -> int:
                 "detail": {
                     "libjpeg_turbo_1core_mp_per_s": round(anchor, 1),
                     "chip_full_decode_mp_per_s": round(chip_mp_s, 1),
+                    "window_mp_per_s": window_rates,
+                    "probe_chip_chunk_mp_per_s": probe_rates,
+                    "probe_ref_mp_per_s": probe_ref,
+                    "degraded_infra": degraded,
+                    "degraded_windows_skipped": degraded_windows,
                     "host_prep_1thread_mp_per_s": round(host_prep_mp_s, 1),
                     "prep_workers": prep_workers,
                     "bit_exact_vs_pil": exact,
@@ -213,9 +266,14 @@ def main() -> int:
                     "wavefront_kernel": "pallas_block_synchronous_fused_idct",
                     "platform": jax.devices()[0].platform,
                     "notes": (
-                        "value = measured wall clock of the depth-2"
-                        " pipelined stream (device fused decode ||"
-                        " threaded host prep of fresh bytes); bitstreams"
+                        "value = best of the spaced windows (min wall"
+                        " clock); each window is the measured wall clock"
+                        " of the depth-2 pipelined stream (device fused"
+                        " decode || threaded host prep of fresh bytes);"
+                        " windows preceded by a cached-program chip probe"
+                        " >15% below BENCH_REF.json are retried and the"
+                        " run tagged degraded_infra if the probe never"
+                        " recovers; bitstreams"
                         " pre-staged in HBM (localhost relay upload is a"
                         " harness artifact, see docstring); RGB stays in"
                         " HBM as planar column-packed uint16 whose bytes"

@@ -263,3 +263,49 @@ def test_batch_on_device_groups_progressive():
     assert all(
         s.entropy_engine == "wavefront-prog" for s in res.stats if s
     )
+
+
+def _bump_dqt(data: bytes, delta: int = 7) -> bytes:
+    """Return `data` with every 8-bit DQT entry shifted by `delta`
+    (clamped to [1, 255]). Entropy data and Huffman tables are
+    untouched, so the result shares scan_group_key with the original
+    but carries different quantizers — the per-image-quantizer shared
+    launch, unreachable with PIL's per-image optimized tables."""
+    out = bytearray(data)
+    i = 2
+    while i + 4 <= len(out):
+        marker = out[i + 1]
+        assert out[i] == 0xFF
+        if marker == 0xDA:  # SOS: stop before entropy data
+            break
+        seglen = (out[i + 2] << 8) | out[i + 3]
+        if marker == 0xDB:
+            j = i + 4
+            end = i + 2 + seglen
+            while j < end:
+                pq = out[j] >> 4
+                assert pq == 0, "8-bit tables only in this helper"
+                for k in range(j + 1, j + 65):
+                    out[k] = max(1, min(255, out[k] + delta))
+                j += 65
+        i += 2 + seglen
+    return bytes(out)
+
+
+def test_prog_batch_mixed_quantizers_share_group():
+    """Identical Huffman tables + different DQTs must share ONE group
+    (quantizers are not part of the batch group key; the one-jit chain
+    dequantizes per image) and both decode bit-exact vs PIL."""
+    base = make_jpeg(96, 80, seed=77, progressive=True, subsampling=2,
+                     restart_blocks=8)
+    variant = _bump_dqt(base)
+    ja, jb = bitstream.parse(base), bitstream.parse(variant)
+    assert wprog.scan_group_key(ja) == wprog.scan_group_key(jb)
+    assert any(
+        not np.array_equal(ja.qtables[c.tq], jb.qtables[c.tq])
+        for c in ja.frame.components
+    )
+    res = tpujpeg.decode_batch_on_device([base, variant])
+    assert not res.errors
+    for d, img in zip([base, variant], res.images):
+        np.testing.assert_array_equal(np.asarray(img), pil_decode(d))

@@ -455,7 +455,13 @@ def build_block_plan(
         native_entropy.destuff_rows  # force the lazy lib build early
         lane0 = 0
         for scan, n_seg in seg_rows:
-            if scan.destuffed is not None and scan.dseg_starts is not None:
+            # len() guard mirrors the sizing paths: protects the C-side
+            # seg_starts[s+1] read from a short cache (see _fill_rows).
+            if (
+                scan.destuffed is not None
+                and scan.dseg_starts is not None
+                and len(scan.dseg_starts) >= n_seg + 1
+            ):
                 # Fused-walk parse: rows are a memcpy + pad + byte-swap
                 # of the already-destuffed buffer (no memchr re-walk).
                 native_entropy.rows_from_dest(

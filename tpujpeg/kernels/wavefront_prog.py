@@ -114,7 +114,15 @@ def _fill_rows(scan, n_seg, W, out_words, out_bits) -> None:
         from ..native import entropy as native_entropy
 
         native_entropy.destuff_rows  # force lazy build
-        if scan.destuffed is not None and scan.dseg_starts is not None:
+        # Guard the cache like the sizing paths do: a short dseg_starts
+        # would make rows_from_dest read seg_starts[s+1] out of bounds
+        # C-side (today unreachable — _seg_geometry raises first — but
+        # don't rely on that non-local invariant here).
+        if (
+            scan.destuffed is not None
+            and scan.dseg_starts is not None
+            and len(scan.dseg_starts) >= n_seg + 1
+        ):
             native_entropy.rows_from_dest(
                 scan.destuffed, scan.dseg_starts, 0, n_seg, W,
                 out_words, out_bits,

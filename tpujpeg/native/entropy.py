@@ -343,9 +343,11 @@ def rows_from_dest(
     into seg_starts (decode_sharded slices a shard's lane range)."""
     lib = build_mod.get_lib()
     if n_threads <= 0:
-        n_threads = min(
-            default_threads(), max(1, int(len(destuffed)) >> 23)
-        )
+        # Size the pool on the bytes this call actually fills (a sharded
+        # caller slices a small [lane0, lane0+n_seg] range out of a large
+        # destuffed buffer); small fills are faster serial.
+        fill_bytes = int(seg_starts[lane0 + n_seg] - seg_starts[lane0])
+        n_threads = min(default_threads(), max(1, fill_bytes >> 23))
     assert out_words.dtype == np.int32 and out_words.flags.c_contiguous
     assert seg_starts.dtype == np.int64
     starts = seg_starts[lane0 : lane0 + n_seg + 1]

@@ -91,12 +91,15 @@ def decode_batch_on_device(
         for i in progressive:
             j = jpegs[i]
             try:
+                # Quantizers are NOT part of the key: the one-jit chain
+                # dequantizes per image in XLA (per_image_q), so a
+                # mixed-quality corpus (q85 + q70 of one encoder) shares
+                # a single launch. Huffman tables (in scan_group_key)
+                # are the real constraint — they are baked into the scan
+                # kernels as compile-time constants.
                 key = (
                     wavefront_prog.scan_group_key(j),
                     bitstream.color_space(j),
-                    tuple(
-                        j.qtables[c.tq].tobytes() for c in j.frame.components
-                    ),
                 )
             except Exception:
                 key = ("solo", i)
@@ -186,7 +189,11 @@ def decode_batch_on_device(
             except Exception:
                 for i in members:
                     _prog_one(i)
-        for members, rgb, (errs_d, plans_d) in pending:
+        # Pop as we resolve so each group's device RGB is released
+        # before the next group materializes on host — peak HBM stays
+        # one group's output, not the whole batch's.
+        while pending:
+            members, rgb, (errs_d, plans_d) = pending.pop(0)
             try:
                 failures = wavefront_prog.resolve_scan_errors(
                     errs_d, plans_d
@@ -247,7 +254,10 @@ def decode_batch_on_device(
         except JpegError:
             slow.append((members, sub, frame, ncomp))
 
-    for members, sub, frame, ncomp, rgb, (err_d, plan_d) in pending_rgb:
+    # Pop as we resolve (same HBM-release rationale as the progressive
+    # pending loop above).
+    while pending_rgb:
+        members, sub, frame, ncomp, rgb, (err_d, plan_d) = pending_rgb.pop(0)
         try:
             failures = wavefront_pallas.resolve_rgb_errors(err_d, plan_d)
         except Exception:

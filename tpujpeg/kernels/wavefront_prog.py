@@ -505,6 +505,235 @@ run_ac_first_jit = jax.jit(
 
 
 # ---------------------------------------------------------------------------
+# Table-DYNAMIC AC-first kernel (VERDICT r4 next #4): Huffman tables as
+# runtime operands instead of compile-time constants. libjpeg emits
+# per-image OPTIMIZED tables for progressive, so with baked tables every
+# distinct file costs a fresh 10-30 min chain compile; a table-dynamic
+# kernel compiles ONCE per (geometry, scan-script shape) and takes the
+# tables as data. The per-symbol price vs baked:
+#   * maxcode/valoffset: 16 scalar compares either way, but no pruning
+#     of empty lengths (baked skips ~2-5) and the constants come from
+#     SREGs instead of immediates;
+#   * huffval: a 63-deep dynamic select tree over 64 packed SMEM words
+#     (same shape as the baked _select_bytes tree, but no equal-subtree
+#     pruning).
+# Measured on chip by tools/prog_dyn_probe.py — see BASELINE.md.
+# ---------------------------------------------------------------------------
+
+
+def dyn_table_pack(tbl) -> np.ndarray:
+    """Pack one CanonTable into the [3, 64] int32 runtime operand the
+    dynamic kernels read from SMEM: row 0 maxcode[l] (-1 where empty),
+    row 1 valoffset[l], row 2 huffval packed 4 bytes/word (the
+    _select_bytes layout)."""
+    out = np.zeros((3, 64), np.int32)
+    out[0, :] = -1
+    out[0, : len(tbl.maxcode)] = np.asarray(tbl.maxcode, np.int64).astype(
+        np.int32
+    )
+    out[1, : len(tbl.valoffset)] = np.asarray(
+        tbl.valoffset, np.int64
+    ).astype(np.int32)
+    hv = list(tbl.huffval)
+    for i in range(64):
+        w = (
+            hv[4 * i]
+            | (hv[4 * i + 1] << 8)
+            | (hv[4 * i + 2] << 16)
+            | (hv[4 * i + 3] << 24)
+        )
+        out[2, i] = w - (1 << 32) if w >= (1 << 31) else w
+    return out
+
+
+def _dyn_select_bytes(idx, tbl_ref):
+    """values[idx] for a runtime table: binary select tree over the 64
+    packed words read as scalars from SMEM (row 2 of dyn_table_pack),
+    then byte extract — the dynamic twin of _select_bytes."""
+    idx2 = idx >> 2
+    vals = [tbl_ref[2, w] for w in range(64)]
+    bit = 1
+    while len(vals) > 1:
+        vals = [
+            jnp.where((idx2 & bit) != 0, vals[i + 1], vals[i])
+            for i in range(0, len(vals), 2)
+        ]
+        bit <<= 1
+    sh = (idx & 3) << 3
+    return (vals[0] >> sh) & 0xFF
+
+
+def _decode_symbol_win_dyn(win, tbl_ref):
+    """_decode_symbol_win against a runtime [3, 64] table operand."""
+    length = jnp.full(win.shape, 17, jnp.int32)
+    idx = jnp.zeros(win.shape, jnp.int32)
+    for l in range(16, 0, -1):
+        peek = (win >> np.uint32(32 - l)).astype(jnp.int32)
+        # maxcode[l] == -1 (no codes) can never match: peek >= 0.
+        sel = peek <= tbl_ref[0, l]
+        length = jnp.where(sel, l, length)
+        idx = jnp.where(sel, peek + tbl_ref[1, l], idx)
+    idx = jnp.clip(idx, 0, 255)
+    sym = _dyn_select_bytes(idx, tbl_ref)
+    return sym, length
+
+
+def _make_ac_first_kernel_dyn(static):
+    W, ss, se, al, lane_group = static
+    K = lane_group // SUBLANES
+
+    def kernel(lane_m_ref, bits_ref, tbl_ref, out_ref, err_ref, cur_ref,
+               end_ref, eob_ref, err_acc_ref, w0_ref, w1_ref, acc_ref,
+               k_ref):
+        m = pl.program_id(1)
+        bits = bits_ref[0]
+        lane_m = lane_m_ref[0]
+
+        @pl.when(m == 0)
+        def _init():
+            cur_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+            eob_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+            err_acc_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
+            zero = jnp.zeros((SUBLANES, K), jnp.int32)
+            w0_ref[:] = _load_word(bits, zero, W)
+            w1_ref[:] = _load_word(bits, zero + 1, W)
+
+        active = m < lane_m
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (64, SUBLANES, K), 0)
+
+        cur = cur_ref[:]
+        err = err_acc_ref[:]
+        eob = eob_ref[:]
+        ok = active & (err == 0)
+        skip = ok & (eob > 0)
+        eob = jnp.where(skip, eob - 1, eob)
+        busy0 = ok & ~skip
+
+        acc_ref[:] = jnp.zeros((64, SUBLANES, K), jnp.int32)
+        k_ref[:] = jnp.where(busy0, ss, 65)
+        eob_ref[:] = eob
+        err_acc_ref[:] = err
+
+        def cond(step):
+            busy = busy0 & (k_ref[:] <= se) & (err_acc_ref[:] == 0)
+            return jnp.any(busy) & (step < 80)
+
+        def sym_step(_cur, _k, _err, _eob, _w0, _w1):
+            busy = busy0 & (_k <= se) & (_err == 0)
+            win = _win_from_regs(_w0, _w1, _cur)
+            rs, alen = _decode_symbol_win_dyn(win, tbl_ref)
+            badc = busy & (alen > 16)
+            r = rs >> 4
+            s = rs & 0x0F
+            val = _receive_extend(win, alen, s)
+            is_eob = (s == 0) & (r < 15)
+            is_zrl = (s == 0) & (r == 15)
+            nk = _k + jnp.where(s > 0, r, 0)
+            over = busy & (s > 0) & (nk > se)
+            emit = busy & (s > 0) & (nk <= se)
+            vmask = jnp.where(emit, val << al, 0)
+            addterm = jnp.where(kiota == nk[None], vmask[None], 0)
+            extra = _receive_raw(win, alen, jnp.where(is_eob, r, 0))
+            new_eob = jnp.left_shift(1, r) - 1 + extra
+            _eob = jnp.where(busy & is_eob, new_eob, _eob)
+            consumed = alen + jnp.where(
+                s > 0, s, jnp.where(is_eob, r, 0)
+            )
+            nc = _cur + jnp.where(busy, consumed, 0)
+            _w0, _w1 = _advance_regs(bits, _w0, _w1, _cur, nc, W)
+            _k = jnp.where(
+                busy,
+                jnp.where(is_eob, 65, jnp.where(is_zrl, _k + 16, nk + 1)),
+                _k,
+            )
+            _err = jnp.where(badc, _ERR_BADCODE, _err)
+            _err = jnp.where(over, _ERR_RUN, _err)
+            return nc, _k, _err, _eob, _w0, _w1, addterm
+
+        def body(step):
+            st = (cur_ref[:], k_ref[:], err_acc_ref[:], eob_ref[:],
+                  w0_ref[:], w1_ref[:])
+            adds = acc_ref[:]
+            for _s in range(AC_SYMS_PER_TRIP):
+                *st, addterm = sym_step(*st)
+                adds = adds + addterm
+            acc_ref[:] = adds
+            cur_ref[:], k_ref[:], err_acc_ref[:] = st[0], st[1], st[2]
+            eob_ref[:], w0_ref[:], w1_ref[:] = st[3], st[4], st[5]
+            return step + 1
+
+        cur_ref[:] = cur
+        jax.lax.while_loop(cond, body, jnp.int32(0))
+
+        out_ref[0, 0] = acc_ref[:]
+        err = err_acc_ref[:]
+
+        trunc = (cur_ref[:] > end_ref[0] + 7) & (lane_m > 0)
+        err_ref[0] = err | jnp.where(trunc, _ERR_TRUNC, 0)
+
+    return kernel
+
+
+def _run_ac_first_dyn(bits, lane_m, seg_bits, tbl, static, n_groups,
+                      n_mcus, interpret):
+    W, ss, se, al, lane_group = static
+    K = lane_group // SUBLANES
+    kern = _make_ac_first_kernel_dyn(static)
+    bits = jnp.transpose(bits, (0, 3, 1, 2))
+
+    def kernel(lane_m_ref, bits_ref, end_ref, tbl_ref, out_ref, err_ref,
+               cur_ref, eob_ref, err_acc_ref, w0_ref, w1_ref, acc_ref,
+               k_ref):
+        kern(lane_m_ref, bits_ref, tbl_ref, out_ref, err_ref, cur_ref,
+             end_ref, eob_ref, err_acc_ref, w0_ref, w1_ref, acc_ref,
+             k_ref)
+
+    out, err = pl.pallas_call(
+        kernel,
+        grid=(n_groups, n_mcus),
+        in_specs=[
+            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, SUBLANES, K), lambda g, m: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 64, SUBLANES, K),
+                         lambda g, m: (g, m, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (n_groups, n_mcus, 64, SUBLANES, K), jnp.int32
+            ),
+            jax.ShapeDtypeStruct((n_groups, SUBLANES, K), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # cursor
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # EOB run
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # error flags
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # window word 0
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # window word 1
+            pltpu.VMEM((64, SUBLANES, K), jnp.int32),  # accumulator
+            pltpu.VMEM((SUBLANES, K), jnp.int32),  # k index
+        ],
+        interpret=interpret,
+    )(lane_m, bits, seg_bits, tbl)
+    return out, err
+
+
+run_ac_first_dyn_jit = jax.jit(
+    _run_ac_first_dyn,
+    static_argnames=("static", "n_groups", "n_mcus", "interpret"),
+)
+
+
+# ---------------------------------------------------------------------------
 # AC refine kernel: per trip, one (run,size)/EOBn symbol PLUS up to 32
 # correction bits, vectorized over the whole 64-coefficient band.
 #

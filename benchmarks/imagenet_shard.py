@@ -29,7 +29,14 @@ def main():
     from corpus import make_jpeg
 
     n = int(os.environ.get("SHARD_IMAGES", "96"))
-    sizes = [(512, 512), (1024, 1024)]
+    # Mixed-size shard: four geometry buckets, weighted toward small
+    # images like a real photo/ImageNet shard (config 3 says "1024
+    # mixed-size JPEGs" — run with SHARD_IMAGES=1024 for the contract
+    # number; the default stays small for quick checks).
+    sizes = (
+        [(512, 512)] * 4 + [(768, 512)] * 3 + [(1024, 1024)] * 2
+        + [(2048, 2048)] * 1
+    )
     datas = []
     for i in range(n):
         w, h = sizes[i % len(sizes)]
@@ -80,10 +87,17 @@ def main():
     host_prep_s = time.perf_counter() - t0
 
     # Stage every bucket's plan arrays in HBM (excluded, see docstring).
+    # Buckets the fused path can't take count as fallbacks (none in
+    # this synthetic corpus; the counter proves it rather than assumes).
     t0 = time.perf_counter()
     staged = []
+    fallback_images = 0
     for members, sub, plan in bucket_plans:
-        fn = wp._rgb_chain(plan, sub, cfg, interpret)
+        try:
+            fn = wp._rgb_chain(plan, sub, cfg, interpret)
+        except Exception:
+            fallback_images += len(members)
+            continue
         args = tuple(
             jax.device_put(jnp.asarray(x))
             for x in (plan.bits, plan.lane_m, plan.seg_bits, plan.lane_qset)
@@ -136,6 +150,9 @@ def main():
                     "libjpeg_turbo_1core_mp_per_s": round(anchor, 1),
                     "bit_exact_vs_pil": exact,
                     "buckets": len(staged),
+                    "bucket_images": [len(m) for m, _p, _f, _a in staged],
+                    "bucket_lanes": [p.n_lanes for _m, p, _f, _a in staged],
+                    "fallback_images": fallback_images,
                     "host_prep_mp_per_s": round(mp / host_prep_s, 1),
                     "staged_upload_s": round(upload_s, 3),
                     "includes": (

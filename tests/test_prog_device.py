@@ -309,3 +309,39 @@ def test_prog_batch_mixed_quantizers_share_group():
     assert not res.errors
     for d, img in zip([base, variant], res.images):
         np.testing.assert_array_equal(np.asarray(img), pil_decode(d))
+
+
+def test_ac_first_table_dynamic_matches_baked():
+    """The table-dynamic AC-first kernel (Huffman table as a [3,64]
+    runtime operand) must produce EXACTLY the baked kernel's output —
+    same accumulator adds, same error vector — for every AC-first scan
+    of a progressive stream."""
+    import jax
+
+    data = make_jpeg(96, 80, seed=91, progressive=True, subsampling=2,
+                     restart_blocks=8)
+    jpeg = bitstream.parse(data)
+    interpret = jax.default_backend() != "tpu"
+    found = 0
+    for k, scan in enumerate(jpeg.scans):
+        if scan.ss == 0 or scan.ah != 0:
+            continue
+        found += 1
+        plan = wprog.ScanPlan([jpeg], k)
+        sk = wprog._scan_static([jpeg], k, plan)
+        static_baked = (sk.tbls, sk.W, sk.ss, sk.se, sk.al,
+                        sk.lane_group)
+        static_dyn = (sk.W, sk.ss, sk.se, sk.al, sk.lane_group)
+        args = (plan.bits, plan.lane_m, plan.seg_bits)
+        out_b, err_b = wprog.run_ac_first_jit(
+            *args, static=static_baked, n_groups=plan.n_groups,
+            n_mcus=plan.n_mcus, interpret=interpret,
+        )
+        tbl = wprog.dyn_table_pack(sk.tbls[0])
+        out_d, err_d = wprog.run_ac_first_dyn_jit(
+            *args, tbl, static=static_dyn, n_groups=plan.n_groups,
+            n_mcus=plan.n_mcus, interpret=interpret,
+        )
+        np.testing.assert_array_equal(np.asarray(err_b), np.asarray(err_d))
+        np.testing.assert_array_equal(np.asarray(out_b), np.asarray(out_d))
+    assert found >= 2

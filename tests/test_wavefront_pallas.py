@@ -353,3 +353,39 @@ def test_norst_fused_rgb_packed16():
         .transpose(1, 2, 0)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_multiscan_baseline_device_coeffs():
+    """A baseline image split into per-component scans (T.81 scan
+    partition; corpus.make_multiscan_jpeg) decodes on the DEVICE path:
+    each scan runs as a single-component wavefront plan and the merged
+    coefficients match the python oracle block-for-block."""
+    from corpus import make_multiscan_jpeg
+    from tpujpeg import huffman
+
+    for rb in (6, 0):  # restart-segmented lanes + skeleton-split lanes
+        data = make_multiscan_jpeg(120, 88, seed=3, restart_blocks=rb)
+        jpeg = bitstream.parse(data)
+        assert len(jpeg.scans) == 3
+        ref = huffman.decode_all_scans(jpeg)
+        got = wp.decode_all_scans(jpeg)
+        for ci, (a, b) in enumerate(zip(ref, got)):
+            np.testing.assert_array_equal(a, b, err_msg=f"rb={rb} comp {ci}")
+
+
+def test_multiscan_baseline_full_decode_exact():
+    """Full decode of a multi-scan baseline file through the wavefront
+    engine is bit-exact vs PIL."""
+    import io
+
+    from PIL import Image
+
+    from corpus import make_multiscan_jpeg
+    from tpujpeg.config import DecodeConfig
+    import tpujpeg
+
+    data = make_multiscan_jpeg(96, 80, seed=9, subsampling=2,
+                               restart_blocks=4)
+    img = tpujpeg.decode(data, DecodeConfig(entropy_engine="wavefront"))
+    ref = np.asarray(Image.open(io.BytesIO(data)))
+    np.testing.assert_array_equal(np.asarray(img), ref)

@@ -24,9 +24,10 @@ def main():
 
     size = int(os.environ.get("PROG_SIZE", "4096"))
     rst = int(os.environ.get("PROG_RST_BLOCKS", "4"))
+    batch = int(os.environ.get("PROG_BATCH", "1"))
     data = make_jpeg(size, size, seed=17, quality=85, subsampling=2,
                      progressive=True, restart_blocks=rst)
-    mp = size * size / 1e6
+    mp = size * size / 1e6 * batch
 
     import jax
     import jax.numpy as jnp
@@ -39,7 +40,7 @@ def main():
     interpret = jax.default_backend() != "tpu"
 
     jpeg = bitstream.parse(data)
-    jpegs = [jpeg]
+    jpegs = [bitstream.parse(data) for _ in range(batch)]
     frame = jpeg.frame
     n_scans = len(jpeg.scans)
     plans = [
@@ -60,12 +61,20 @@ def main():
     def sync(x):
         return int(_scal(x))
 
-    # --- A: raw scan kernels only (no conversions, no state updates).
-    def kernels_only():
+    def _kind_of(scan):
+        if scan.ss == 0:
+            return "dc_refine" if scan.ah != 0 else "dc_first"
+        return "ac_refine" if scan.ah != 0 else "ac_first"
+
+    # --- A: raw scan kernels only (no conversions, no state updates),
+    # optionally restricted to one scan KIND (per-kind breakdown).
+    def kernels_only(only_kind=None):
         outs = []
         for k, plan in enumerate(plans):
             scan = jpeg.scans[k]
             if plan is None:
+                continue
+            if only_kind is not None and _kind_of(scan) != only_kind:
                 continue
             is_dc = scan.ss == 0
             if is_dc:
@@ -116,6 +125,27 @@ def main():
         sync(e)
     t_kernels = time.perf_counter() - t0
 
+    # Per-kind split of A (scan counts differ per kind; absolute
+    # seconds are what the lever decision needs).
+    t_kind = {}
+    n_kind = {}
+    for kind in ("dc_first", "ac_first", "ac_refine"):
+        n_kind[kind] = sum(
+            1 for k, p in enumerate(plans)
+            if p is not None and _kind_of(jpeg.scans[k]) == kind
+        )
+        if not n_kind[kind]:
+            t_kind[kind] = 0.0
+            continue
+        outs = kernels_only(kind)
+        for e in outs:
+            sync(e)
+        t0 = time.perf_counter()
+        outs = kernels_only(kind)
+        for e in outs:
+            sync(e)
+        t_kind[kind] = time.perf_counter() - t0
+
     # --- B: the full per-scan path (entropy state machine end-to-end).
     def full_entropy():
         states = [
@@ -123,12 +153,14 @@ def main():
                 jnp.zeros((c.padded_hb * c.padded_wb, 64), jnp.int32)
                 for c in frame.components
             ]
+            for _ in range(batch)
         ]
         dcs = [
             [
                 jnp.zeros((c.padded_hb * c.padded_wb,), jnp.int32)
                 for c in frame.components
             ]
+            for _ in range(batch)
         ]
         errs = []
         for k in range(n_scans):
@@ -136,13 +168,15 @@ def main():
                 jpegs, k, states, dcs, interpret, plan=plans[k],
                 errs_out=errs,
             )
-        return states[0], dcs[0], errs
+        return states, dcs, errs
 
-    state, dc, errs = full_entropy()
+    states, dcs, errs = full_entropy()
+    state, dc = states[0], dcs[0]
     for ci in range(frame.n_components):
         sync(state[ci])
     t0 = time.perf_counter()
-    state, dc, errs = full_entropy()
+    states, dcs, errs = full_entropy()
+    state, dc = states[0], dcs[0]
     for ci in range(frame.n_components):
         sync(state[ci])
     t_full = time.perf_counter() - t0
@@ -166,8 +200,16 @@ def main():
 
     def transform():
         return kernel_pipeline.transform_batch(
-            frame, [s[None] for s in state], qtabs, cfg,
-            dcs=[d[None] for d in dc],
+            frame,
+            [
+                jnp.stack([st[ci] for st in states])
+                for ci in range(frame.n_components)
+            ],
+            qtabs, cfg,
+            dcs=[
+                jnp.stack([d[ci] for d in dcs])
+                for ci in range(frame.n_components)
+            ],
         )
 
     rgb = transform()
@@ -193,8 +235,12 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"prog_profile_{size}x{size}",
+                "metric": f"prog_profile_{size}x{size}_batch{batch}",
                 "scan_kernels_s": round(t_kernels, 4),
+                "scan_kernels_by_kind_s": {
+                    k: round(v, 4) for k, v in t_kind.items()
+                },
+                "scans_by_kind": n_kind,
                 "full_entropy_eager_s": round(t_full, 4),
                 "full_entropy_chain_s": round(t_chain, 4),
                 "eager_dispatch_tax_s": round(t_full - t_chain, 4),

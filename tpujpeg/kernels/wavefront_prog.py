@@ -546,12 +546,22 @@ def dyn_table_pack(tbl) -> np.ndarray:
     return out
 
 
-def _dyn_select_bytes(idx, tbl_ref):
+def _dyn_table_load(tbl_ref):
+    """Read the whole [3, 64] table operand into scalar values ONCE (at
+    kernel top, outside the hot loop): the while_loop body must not
+    re-issue 96 SMEM reads per symbol on the latency-bound chain."""
+    mc = [tbl_ref[0, l] for l in range(17)]
+    vo = [tbl_ref[1, l] for l in range(17)]
+    hv = [tbl_ref[2, w] for w in range(64)]
+    return mc, vo, hv
+
+
+def _dyn_select_bytes(idx, hv):
     """values[idx] for a runtime table: binary select tree over the 64
-    packed words read as scalars from SMEM (row 2 of dyn_table_pack),
-    then byte extract — the dynamic twin of _select_bytes."""
+    packed scalar words (row 2 of dyn_table_pack), then byte extract —
+    the dynamic twin of _select_bytes."""
     idx2 = idx >> 2
-    vals = [tbl_ref[2, w] for w in range(64)]
+    vals = list(hv)
     bit = 1
     while len(vals) > 1:
         vals = [
@@ -563,18 +573,20 @@ def _dyn_select_bytes(idx, tbl_ref):
     return (vals[0] >> sh) & 0xFF
 
 
-def _decode_symbol_win_dyn(win, tbl_ref):
-    """_decode_symbol_win against a runtime [3, 64] table operand."""
+def _decode_symbol_win_dyn(win, tbl):
+    """_decode_symbol_win against a runtime table (mc, vo, hv) of
+    scalars pre-loaded by _dyn_table_load."""
+    mc, vo, hv = tbl
     length = jnp.full(win.shape, 17, jnp.int32)
     idx = jnp.zeros(win.shape, jnp.int32)
     for l in range(16, 0, -1):
         peek = (win >> np.uint32(32 - l)).astype(jnp.int32)
         # maxcode[l] == -1 (no codes) can never match: peek >= 0.
-        sel = peek <= tbl_ref[0, l]
+        sel = peek <= mc[l]
         length = jnp.where(sel, l, length)
-        idx = jnp.where(sel, peek + tbl_ref[1, l], idx)
+        idx = jnp.where(sel, peek + vo[l], idx)
     idx = jnp.clip(idx, 0, 255)
-    sym = _dyn_select_bytes(idx, tbl_ref)
+    sym = _dyn_select_bytes(idx, hv)
     return sym, length
 
 
@@ -588,6 +600,7 @@ def _make_ac_first_kernel_dyn(static):
         m = pl.program_id(1)
         bits = bits_ref[0]
         lane_m = lane_m_ref[0]
+        tbl = _dyn_table_load(tbl_ref)
 
         @pl.when(m == 0)
         def _init():
@@ -621,7 +634,7 @@ def _make_ac_first_kernel_dyn(static):
         def sym_step(_cur, _k, _err, _eob, _w0, _w1):
             busy = busy0 & (_k <= se) & (_err == 0)
             win = _win_from_regs(_w0, _w1, _cur)
-            rs, alen = _decode_symbol_win_dyn(win, tbl_ref)
+            rs, alen = _decode_symbol_win_dyn(win, tbl)
             badc = busy & (alen > 16)
             r = rs >> 4
             s = rs & 0x0F

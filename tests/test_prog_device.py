@@ -337,10 +337,10 @@ def test_ac_first_table_dynamic_matches_baked():
             *args, static=static_baked, n_groups=plan.n_groups,
             n_mcus=plan.n_mcus, interpret=interpret,
         )
-        tbl = wprog.dyn_table_pack(sk.tbls[0])
-        out_d, err_d = wprog.run_ac_first_dyn_jit(
-            *args, tbl, static=static_dyn, n_groups=plan.n_groups,
-            n_mcus=plan.n_mcus, interpret=interpret,
+        tbl = wprog.dyn_table_pack(sk.tbls[0])[None]
+        out_d, err_d = wprog.run_ac_first_jit(
+            *args, static=static_dyn, n_groups=plan.n_groups,
+            n_mcus=plan.n_mcus, interpret=interpret, tbl=tbl,
         )
         np.testing.assert_array_equal(np.asarray(err_b), np.asarray(err_d))
         np.testing.assert_array_equal(np.asarray(out_b), np.asarray(out_d))

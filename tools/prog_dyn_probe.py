@@ -68,7 +68,7 @@ def main() -> int:
         lane_m = jax.device_put(jnp.asarray(plan.lane_m))
         seg_bits = jax.device_put(jnp.asarray(plan.seg_bits))
         tbl = jax.device_put(
-            jnp.asarray(wprog.dyn_table_pack(sk.tbls[0]))
+            jnp.asarray(wprog.dyn_table_pack(sk.tbls[0])[None])
         )
         static_baked = (sk.tbls, sk.W, sk.ss, sk.se, sk.al, sk.lane_group)
         static_dyn = (sk.W, sk.ss, sk.se, sk.al, sk.lane_group)
@@ -86,9 +86,9 @@ def main() -> int:
                 bits, lane_m, seg_bits, tbl
             ) in zip(staged, arrs):
                 if dyn:
-                    out, err = wprog._run_ac_first_dyn(
-                        bits, lane_m, seg_bits, tbl, std,
-                        plan.n_groups, plan.n_mcus, interpret,
+                    out, err = wprog._run_ac_first(
+                        bits, lane_m, seg_bits, std,
+                        plan.n_groups, plan.n_mcus, interpret, tbl,
                     )
                 else:
                     out, err = wprog._run_ac_first(

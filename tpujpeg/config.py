@@ -38,5 +38,14 @@ class DecodeConfig:
     # bitstream slice (None = derive from platform).
     wavefront_vmem_budget: Optional[int] = None
 
+    # Progressive scan-kernel Huffman tables: 'baked' compiles the
+    # tables into the chain (fastest kernels, but every distinct
+    # optimized-table set costs a fresh chain compile — libjpeg emits
+    # per-image tables for progressive); 'dynamic' passes tables as
+    # runtime operands (one compiled chain per scan-script shape,
+    # kernels measured ~1.2x slower); 'auto' uses dynamic for
+    # singleton-table groups and baked for groups that share tables.
+    prog_tables: str = "auto"  # 'auto' | 'baked' | 'dynamic'
+
 
 DEFAULT_CONFIG = DecodeConfig()

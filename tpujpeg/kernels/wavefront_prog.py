@@ -149,7 +149,7 @@ class ScanPlan:
     (lane0, n_seg, rows, total_mcus) for slicing kernel outputs back to
     per-image block grids."""
 
-    def __init__(self, jpegs, k: int):
+    def __init__(self, jpegs, k: int, w_snap: bool = False):
         geo = [_seg_geometry(j, j.scans[k]) for j in jpegs]
         W = 2
         for j, (_total, _ri, n_seg) in zip(jpegs, geo):
@@ -159,6 +159,14 @@ class ScanPlan:
             raise JpegUnsupportedError(
                 f"progressive segment too long ({W} words)"
             )
+        if w_snap:
+            # Table-dynamic chains: snap the row width to a coarse
+            # ladder so files that differ only in payload density share
+            # one compiled chain (W is part of the kernel's shape).
+            for step in (32, 64, 128, 256, 384, MAX_WORDS):
+                if W <= step:
+                    W = step
+                    break
 
         L = sum(n_seg for (_t, _r, n_seg) in geo)
         # Group width by the widest VMEM block this scan kind's kernel
@@ -225,17 +233,25 @@ def _tables_for_scan(scan, dc: bool) -> Tuple:
 # ---------------------------------------------------------------------------
 
 
-def _make_dc_first_kernel(static):
-    blk_sp, dc_tbls, W, al, lane_group = static
+def _make_dc_first_kernel(static, dyn: bool = False):
+    if dyn:
+        blk_sp, W, al, lane_group = static
+        dc_tbls = None
+    else:
+        blk_sp, dc_tbls, W, al, lane_group = static
     K = lane_group // SUBLANES
     B = len(blk_sp)
     n_sp = max(blk_sp) + 1
 
-    def kernel(lane_m_ref, bits_ref, out_ref, err_ref, cur_ref, end_ref,
-               pred_ref, err_acc_ref, w0_ref, w1_ref):
+    def kernel(lane_m_ref, bits_ref, tbl_ref, out_ref, err_ref, cur_ref,
+               end_ref, pred_ref, err_acc_ref, w0_ref, w1_ref):
         m = pl.program_id(1)
         bits = bits_ref[0]
         lane_m = lane_m_ref[0]
+        tbls = (
+            [_dyn_table_load(tbl_ref, sp) for sp in range(n_sp)]
+            if dyn else dc_tbls
+        )
 
         @pl.when(m == 0)
         def _init():
@@ -253,7 +269,7 @@ def _make_dc_first_kernel(static):
             err = err_acc_ref[:]
             ok = active & (err == 0)
             win = _win_from_regs(w0_ref[:], w1_ref[:], cur)
-            t, dlen = _decode_symbol_win(win, dc_tbls[sp])
+            t, dlen = _decode_symbol_win_any(win, tbls[sp])
             bad = ok & ((dlen > 16) | (t > 15))
             t = jnp.where(t > 15, 0, t)
             diff = _receive_extend(win, dlen, t)
@@ -274,29 +290,47 @@ def _make_dc_first_kernel(static):
 
 
 def _run_dc_first(bits, lane_m, seg_bits, static, n_groups, n_mcus,
-                  interpret):
-    blk_sp, dc_tbls, W, al, lane_group = static
+                  interpret, tbl=None):
+    dyn = tbl is not None
+    if dyn:
+        blk_sp, W, al, lane_group = static
+    else:
+        blk_sp, dc_tbls, W, al, lane_group = static
     K = lane_group // SUBLANES
     B = len(blk_sp)
-    kern = _make_dc_first_kernel(static)
+    kern = _make_dc_first_kernel(static, dyn=dyn)
     bits = jnp.transpose(bits, (0, 3, 1, 2))
 
-    def kernel(lane_m_ref, bits_ref, end_ref, out_ref, err_ref,
-               cur_ref, pred_ref, err_acc_ref, w0_ref, w1_ref):
-        kern(lane_m_ref, bits_ref, out_ref, err_ref, cur_ref, end_ref,
-             pred_ref, err_acc_ref, w0_ref, w1_ref)
+    if dyn:
+        def kernel(lane_m_ref, bits_ref, end_ref, tbl_ref, out_ref,
+                   err_ref, cur_ref, pred_ref, err_acc_ref, w0_ref,
+                   w1_ref):
+            kern(lane_m_ref, bits_ref, tbl_ref, out_ref, err_ref,
+                 cur_ref, end_ref, pred_ref, err_acc_ref, w0_ref,
+                 w1_ref)
+    else:
+        def kernel(lane_m_ref, bits_ref, end_ref, out_ref, err_ref,
+                   cur_ref, pred_ref, err_acc_ref, w0_ref, w1_ref):
+            kern(lane_m_ref, bits_ref, None, out_ref, err_ref, cur_ref,
+                 end_ref, pred_ref, err_acc_ref, w0_ref, w1_ref)
+
+    in_specs = [
+        pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, W, SUBLANES, K), lambda g, m: (g, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = (lane_m, bits, seg_bits)
+    if dyn:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands = operands + (tbl,)
 
     out, err = pl.pallas_call(
         kernel,
         grid=(n_groups, n_mcus),
-        in_specs=[
-            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, SUBLANES, K), lambda g, m: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 1, B, SUBLANES, K),
                          lambda g, m: (g, m, 0, 0, 0),
@@ -318,7 +352,7 @@ def _run_dc_first(bits, lane_m, seg_bits, static, n_groups, n_mcus,
             pltpu.VMEM((SUBLANES, K), jnp.int32),  # window word 1
         ],
         interpret=interpret,
-    )(lane_m, bits, seg_bits)
+    )(*operands)
     return out, err
 
 
@@ -345,15 +379,29 @@ def _receive_raw(win, length, nbits):
     )
 
 
-def _make_ac_first_kernel(static):
-    (ac_tbl,), W, ss, se, al, lane_group = static
+def _make_ac_first_kernel(static, dyn: bool = False):
+    """AC-first scan kernel. With dyn=True the Huffman table is a
+    [1, 3, 64] RUNTIME operand (SMEM ref, extra kernel arg) instead of
+    compile-time constants — one compiled program serves every table
+    set of the same scan-script geometry (see the table-dynamic section
+    below)."""
+    if dyn:
+        W, ss, se, al, lane_group = static
+        ac_tbl = None
+    else:
+        (ac_tbl,), W, ss, se, al, lane_group = static
     K = lane_group // SUBLANES
 
-    def kernel(lane_m_ref, bits_ref, out_ref, err_ref, cur_ref, end_ref,
-               eob_ref, err_acc_ref, w0_ref, w1_ref, acc_ref, k_ref):
+    def kernel(lane_m_ref, bits_ref, tbl_ref, out_ref, err_ref, cur_ref,
+               end_ref, eob_ref, err_acc_ref, w0_ref, w1_ref, acc_ref,
+               k_ref):
         m = pl.program_id(1)
         bits = bits_ref[0]
         lane_m = lane_m_ref[0]
+        # Scalar table loads happen ONCE here, outside the hot loop:
+        # re-issuing 96 SMEM reads per symbol put the dynamic kernel at
+        # 3.06x baked; hoisted it measures 1.20x (tools/prog_dyn_probe).
+        tbl = _dyn_table_load(tbl_ref, 0) if dyn else ac_tbl
 
         @pl.when(m == 0)
         def _init():
@@ -394,7 +442,7 @@ def _make_ac_first_kernel(static):
             accumulator (folded into one acc_ref write per trip)."""
             busy = busy0 & (_k <= se) & (_err == 0)
             win = _win_from_regs(_w0, _w1, _cur)
-            rs, alen = _decode_symbol_win(win, ac_tbl)
+            rs, alen = _decode_symbol_win_any(win, tbl)
             badc = busy & (alen > 16)
             r = rs >> 4
             s = rs & 0x0F
@@ -448,29 +496,52 @@ def _make_ac_first_kernel(static):
 
 
 def _run_ac_first(bits, lane_m, seg_bits, static, n_groups, n_mcus,
-                  interpret):
-    _tbls, W, ss, se, al, lane_group = static
+                  interpret, tbl=None):
+    """With tbl=None the Huffman table is baked from `static`; with a
+    [1, 3, 64] int32 `tbl` operand the table-dynamic kernel runs (the
+    baked call keeps its exact historical HLO so cached programs stay
+    valid)."""
+    dyn = tbl is not None
+    if dyn:
+        W, ss, se, al, lane_group = static
+    else:
+        _tbls, W, ss, se, al, lane_group = static
     K = lane_group // SUBLANES
-    kern = _make_ac_first_kernel(static)
+    kern = _make_ac_first_kernel(static, dyn=dyn)
     bits = jnp.transpose(bits, (0, 3, 1, 2))
 
-    def kernel(lane_m_ref, bits_ref, end_ref, out_ref, err_ref,
-               cur_ref, eob_ref, err_acc_ref, w0_ref, w1_ref, acc_ref,
-               k_ref):
-        kern(lane_m_ref, bits_ref, out_ref, err_ref, cur_ref, end_ref,
-             eob_ref, err_acc_ref, w0_ref, w1_ref, acc_ref, k_ref)
+    if dyn:
+        def kernel(lane_m_ref, bits_ref, end_ref, tbl_ref, out_ref,
+                   err_ref, cur_ref, eob_ref, err_acc_ref, w0_ref,
+                   w1_ref, acc_ref, k_ref):
+            kern(lane_m_ref, bits_ref, tbl_ref, out_ref, err_ref,
+                 cur_ref, end_ref, eob_ref, err_acc_ref, w0_ref, w1_ref,
+                 acc_ref, k_ref)
+    else:
+        def kernel(lane_m_ref, bits_ref, end_ref, out_ref, err_ref,
+                   cur_ref, eob_ref, err_acc_ref, w0_ref, w1_ref,
+                   acc_ref, k_ref):
+            kern(lane_m_ref, bits_ref, None, out_ref, err_ref, cur_ref,
+                 end_ref, eob_ref, err_acc_ref, w0_ref, w1_ref, acc_ref,
+                 k_ref)
+
+    in_specs = [
+        pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, W, SUBLANES, K), lambda g, m: (g, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = (lane_m, bits, seg_bits)
+    if dyn:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands = operands + (tbl,)
 
     out, err = pl.pallas_call(
         kernel,
         grid=(n_groups, n_mcus),
-        in_specs=[
-            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, SUBLANES, K), lambda g, m: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 1, 64, SUBLANES, K),
                          lambda g, m: (g, m, 0, 0, 0),
@@ -494,7 +565,7 @@ def _run_ac_first(bits, lane_m, seg_bits, static, n_groups, n_mcus,
             pltpu.VMEM((SUBLANES, K), jnp.int32),  # k index
         ],
         interpret=interpret,
-    )(lane_m, bits, seg_bits)
+    )(*operands)
     return out, err
 
 
@@ -546,14 +617,24 @@ def dyn_table_pack(tbl) -> np.ndarray:
     return out
 
 
-def _dyn_table_load(tbl_ref):
-    """Read the whole [3, 64] table operand into scalar values ONCE (at
-    kernel top, outside the hot loop): the while_loop body must not
-    re-issue 96 SMEM reads per symbol on the latency-bound chain."""
-    mc = [tbl_ref[0, l] for l in range(17)]
-    vo = [tbl_ref[1, l] for l in range(17)]
-    hv = [tbl_ref[2, w] for w in range(64)]
+def _dyn_table_load(tbl_ref, i: int):
+    """Read table i of the [n_tbl, 3, 64] operand into scalar values
+    ONCE (at kernel top, outside the hot loop): the while_loop body
+    must not re-issue 96 SMEM reads per symbol on the latency-bound
+    chain (measured: hoisting took the dynamic AC-first kernel from
+    3.06x to 1.20x baked)."""
+    mc = [tbl_ref[i, 0, l] for l in range(17)]
+    vo = [tbl_ref[i, 1, l] for l in range(17)]
+    hv = [tbl_ref[i, 2, w] for w in range(64)]
     return mc, vo, hv
+
+
+def _decode_symbol_win_any(win, tbl):
+    """Dispatch on table form: compile-time CanonTable constants or the
+    (mc, vo, hv) scalar tuple of a runtime operand."""
+    if isinstance(tbl, CanonTable):
+        return _decode_symbol_win(win, tbl)
+    return _decode_symbol_win_dyn(win, tbl)
 
 
 def _dyn_select_bytes(idx, hv):
@@ -588,162 +669,6 @@ def _decode_symbol_win_dyn(win, tbl):
     idx = jnp.clip(idx, 0, 255)
     sym = _dyn_select_bytes(idx, hv)
     return sym, length
-
-
-def _make_ac_first_kernel_dyn(static):
-    W, ss, se, al, lane_group = static
-    K = lane_group // SUBLANES
-
-    def kernel(lane_m_ref, bits_ref, tbl_ref, out_ref, err_ref, cur_ref,
-               end_ref, eob_ref, err_acc_ref, w0_ref, w1_ref, acc_ref,
-               k_ref):
-        m = pl.program_id(1)
-        bits = bits_ref[0]
-        lane_m = lane_m_ref[0]
-        tbl = _dyn_table_load(tbl_ref)
-
-        @pl.when(m == 0)
-        def _init():
-            cur_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
-            eob_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
-            err_acc_ref[:] = jnp.zeros((SUBLANES, K), jnp.int32)
-            zero = jnp.zeros((SUBLANES, K), jnp.int32)
-            w0_ref[:] = _load_word(bits, zero, W)
-            w1_ref[:] = _load_word(bits, zero + 1, W)
-
-        active = m < lane_m
-        kiota = jax.lax.broadcasted_iota(jnp.int32, (64, SUBLANES, K), 0)
-
-        cur = cur_ref[:]
-        err = err_acc_ref[:]
-        eob = eob_ref[:]
-        ok = active & (err == 0)
-        skip = ok & (eob > 0)
-        eob = jnp.where(skip, eob - 1, eob)
-        busy0 = ok & ~skip
-
-        acc_ref[:] = jnp.zeros((64, SUBLANES, K), jnp.int32)
-        k_ref[:] = jnp.where(busy0, ss, 65)
-        eob_ref[:] = eob
-        err_acc_ref[:] = err
-
-        def cond(step):
-            busy = busy0 & (k_ref[:] <= se) & (err_acc_ref[:] == 0)
-            return jnp.any(busy) & (step < 80)
-
-        def sym_step(_cur, _k, _err, _eob, _w0, _w1):
-            busy = busy0 & (_k <= se) & (_err == 0)
-            win = _win_from_regs(_w0, _w1, _cur)
-            rs, alen = _decode_symbol_win_dyn(win, tbl)
-            badc = busy & (alen > 16)
-            r = rs >> 4
-            s = rs & 0x0F
-            val = _receive_extend(win, alen, s)
-            is_eob = (s == 0) & (r < 15)
-            is_zrl = (s == 0) & (r == 15)
-            nk = _k + jnp.where(s > 0, r, 0)
-            over = busy & (s > 0) & (nk > se)
-            emit = busy & (s > 0) & (nk <= se)
-            vmask = jnp.where(emit, val << al, 0)
-            addterm = jnp.where(kiota == nk[None], vmask[None], 0)
-            extra = _receive_raw(win, alen, jnp.where(is_eob, r, 0))
-            new_eob = jnp.left_shift(1, r) - 1 + extra
-            _eob = jnp.where(busy & is_eob, new_eob, _eob)
-            consumed = alen + jnp.where(
-                s > 0, s, jnp.where(is_eob, r, 0)
-            )
-            nc = _cur + jnp.where(busy, consumed, 0)
-            _w0, _w1 = _advance_regs(bits, _w0, _w1, _cur, nc, W)
-            _k = jnp.where(
-                busy,
-                jnp.where(is_eob, 65, jnp.where(is_zrl, _k + 16, nk + 1)),
-                _k,
-            )
-            _err = jnp.where(badc, _ERR_BADCODE, _err)
-            _err = jnp.where(over, _ERR_RUN, _err)
-            return nc, _k, _err, _eob, _w0, _w1, addterm
-
-        def body(step):
-            st = (cur_ref[:], k_ref[:], err_acc_ref[:], eob_ref[:],
-                  w0_ref[:], w1_ref[:])
-            adds = acc_ref[:]
-            for _s in range(AC_SYMS_PER_TRIP):
-                *st, addterm = sym_step(*st)
-                adds = adds + addterm
-            acc_ref[:] = adds
-            cur_ref[:], k_ref[:], err_acc_ref[:] = st[0], st[1], st[2]
-            eob_ref[:], w0_ref[:], w1_ref[:] = st[3], st[4], st[5]
-            return step + 1
-
-        cur_ref[:] = cur
-        jax.lax.while_loop(cond, body, jnp.int32(0))
-
-        out_ref[0, 0] = acc_ref[:]
-        err = err_acc_ref[:]
-
-        trunc = (cur_ref[:] > end_ref[0] + 7) & (lane_m > 0)
-        err_ref[0] = err | jnp.where(trunc, _ERR_TRUNC, 0)
-
-    return kernel
-
-
-def _run_ac_first_dyn(bits, lane_m, seg_bits, tbl, static, n_groups,
-                      n_mcus, interpret):
-    W, ss, se, al, lane_group = static
-    K = lane_group // SUBLANES
-    kern = _make_ac_first_kernel_dyn(static)
-    bits = jnp.transpose(bits, (0, 3, 1, 2))
-
-    def kernel(lane_m_ref, bits_ref, end_ref, tbl_ref, out_ref, err_ref,
-               cur_ref, eob_ref, err_acc_ref, w0_ref, w1_ref, acc_ref,
-               k_ref):
-        kern(lane_m_ref, bits_ref, tbl_ref, out_ref, err_ref, cur_ref,
-             end_ref, eob_ref, err_acc_ref, w0_ref, w1_ref, acc_ref,
-             k_ref)
-
-    out, err = pl.pallas_call(
-        kernel,
-        grid=(n_groups, n_mcus),
-        in_specs=[
-            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, SUBLANES, K), lambda g, m: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1, 64, SUBLANES, K),
-                         lambda g, m: (g, m, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct(
-                (n_groups, n_mcus, 64, SUBLANES, K), jnp.int32
-            ),
-            jax.ShapeDtypeStruct((n_groups, SUBLANES, K), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((SUBLANES, K), jnp.int32),  # cursor
-            pltpu.VMEM((SUBLANES, K), jnp.int32),  # EOB run
-            pltpu.VMEM((SUBLANES, K), jnp.int32),  # error flags
-            pltpu.VMEM((SUBLANES, K), jnp.int32),  # window word 0
-            pltpu.VMEM((SUBLANES, K), jnp.int32),  # window word 1
-            pltpu.VMEM((64, SUBLANES, K), jnp.int32),  # accumulator
-            pltpu.VMEM((SUBLANES, K), jnp.int32),  # k index
-        ],
-        interpret=interpret,
-    )(lane_m, bits, seg_bits, tbl)
-    return out, err
-
-
-run_ac_first_dyn_jit = jax.jit(
-    _run_ac_first_dyn,
-    static_argnames=("static", "n_groups", "n_mcus", "interpret"),
-)
 
 
 # ---------------------------------------------------------------------------
@@ -782,19 +707,24 @@ def _cumsum64(x):
     return x
 
 
-def _make_ac_refine_kernel(static):
-    (ac_tbl,), W, ss, se, al, lane_group = static
+def _make_ac_refine_kernel(static, dyn: bool = False):
+    if dyn:
+        W, ss, se, al, lane_group = static
+        ac_tbl = None
+    else:
+        (ac_tbl,), W, ss, se, al, lane_group = static
     K = lane_group // SUBLANES
     p1 = 1 << al
     m1 = (-1) << al
 
-    def kernel(lane_m_ref, bits_ref, prior_ref, out_ref, err_ref,
-               cur_ref, end_ref, eob_ref, err_acc_ref, w0_ref, w1_ref,
-               k_ref, kstop_ref, place_ref, tail_ref, mode_ref,
+    def kernel(lane_m_ref, bits_ref, prior_ref, tbl_ref, out_ref,
+               err_ref, cur_ref, end_ref, eob_ref, err_acc_ref, w0_ref,
+               w1_ref, k_ref, kstop_ref, place_ref, tail_ref, mode_ref,
                done_ref):
         m = pl.program_id(1)
         bits = bits_ref[0]
         lane_m = lane_m_ref[0]
+        tbl = _dyn_table_load(tbl_ref, 0) if dyn else ac_tbl
 
         @pl.when(m == 0)
         def _init():
@@ -841,7 +771,7 @@ def _make_ac_refine_kernel(static):
             # --- Symbol decode (mode SYMBOL). ---
             dec = mode == _MODE_SYMBOL
             win = _win_from_regs(rw0, rw1, cur)
-            rs, alen = _decode_symbol_win(win, ac_tbl)
+            rs, alen = _decode_symbol_win_any(win, tbl)
             badc = dec & (alen > 16)
             rr = rs >> 4
             ds = rs & 0x0F
@@ -988,34 +918,55 @@ def _make_ac_refine_kernel(static):
 
 
 def _run_ac_refine(bits, lane_m, seg_bits, prior, static, n_groups,
-                   n_mcus, interpret):
-    _tbls, W, ss, se, al, lane_group = static
+                   n_mcus, interpret, tbl=None):
+    dyn = tbl is not None
+    if dyn:
+        W, ss, se, al, lane_group = static
+    else:
+        _tbls, W, ss, se, al, lane_group = static
     K = lane_group // SUBLANES
-    kern = _make_ac_refine_kernel(static)
+    kern = _make_ac_refine_kernel(static, dyn=dyn)
     bits = jnp.transpose(bits, (0, 3, 1, 2))
 
-    def kernel(lane_m_ref, bits_ref, end_ref, prior_ref, out_ref,
-               err_ref, cur_ref, eob_ref, err_acc_ref, w0_ref, w1_ref,
-               k_ref, kstop_ref, place_ref, tail_ref, mode_ref,
-               done_ref):
-        kern(lane_m_ref, bits_ref, prior_ref, out_ref, err_ref, cur_ref,
-             end_ref, eob_ref, err_acc_ref, w0_ref, w1_ref,
-             k_ref, kstop_ref, place_ref, tail_ref, mode_ref, done_ref)
+    if dyn:
+        def kernel(lane_m_ref, bits_ref, end_ref, prior_ref, tbl_ref,
+                   out_ref, err_ref, cur_ref, eob_ref, err_acc_ref,
+                   w0_ref, w1_ref, k_ref, kstop_ref, place_ref,
+                   tail_ref, mode_ref, done_ref):
+            kern(lane_m_ref, bits_ref, prior_ref, tbl_ref, out_ref,
+                 err_ref, cur_ref, end_ref, eob_ref, err_acc_ref,
+                 w0_ref, w1_ref, k_ref, kstop_ref, place_ref, tail_ref,
+                 mode_ref, done_ref)
+    else:
+        def kernel(lane_m_ref, bits_ref, end_ref, prior_ref, out_ref,
+                   err_ref, cur_ref, eob_ref, err_acc_ref, w0_ref,
+                   w1_ref, k_ref, kstop_ref, place_ref, tail_ref,
+                   mode_ref, done_ref):
+            kern(lane_m_ref, bits_ref, prior_ref, None, out_ref,
+                 err_ref, cur_ref, end_ref, eob_ref, err_acc_ref,
+                 w0_ref, w1_ref, k_ref, kstop_ref, place_ref, tail_ref,
+                 mode_ref, done_ref)
+
+    in_specs = [
+        pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, W, SUBLANES, K), lambda g, m: (g, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 64, SUBLANES, K),
+                     lambda g, m: (g, m, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = (lane_m, bits, seg_bits, prior)
+    if dyn:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands = operands + (tbl,)
 
     out, err = pl.pallas_call(
         kernel,
         grid=(n_groups, n_mcus),
-        in_specs=[
-            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, SUBLANES, K), lambda g, m: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUBLANES, K), lambda g, m: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 64, SUBLANES, K),
-                         lambda g, m: (g, m, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 1, 64, SUBLANES, K),
                          lambda g, m: (g, m, 0, 0, 0),
@@ -1043,7 +994,7 @@ def _run_ac_refine(bits, lane_m, seg_bits, prior, static, n_groups,
             pltpu.VMEM((SUBLANES, K), jnp.int32),  # bits done in range
         ],
         interpret=interpret,
-    )(lane_m, bits, seg_bits, prior)
+    )(*operands)
     return out, err
 
 
@@ -1199,6 +1150,10 @@ class _ScanStatic:
     n_lanes: int = 0
     img_view: Tuple = ()
     lane_group: int = LANE_GROUP
+    # Table-dynamic kernels: tbls is () and each kernel takes its
+    # Huffman tables as a [n_tbl, 3, 64] runtime operand, so ONE
+    # compiled chain serves every table set of this scan-script shape.
+    dyn: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -1221,7 +1176,8 @@ def _comps_static(frame) -> Tuple:
     )
 
 
-def _scan_static(jpegs, k: int, plan: Optional[ScanPlan]) -> _ScanStatic:
+def _scan_static(jpegs, k: int, plan: Optional[ScanPlan],
+                 dyn: bool = False) -> _ScanStatic:
     scan = jpegs[0].scans[k]
     frame = jpegs[0].frame
     is_dc = scan.ss == 0
@@ -1241,17 +1197,17 @@ def _scan_static(jpegs, k: int, plan: Optional[ScanPlan]) -> _ScanStatic:
         else:
             bl = [0]
         blk_sp = tuple(bl)
-        tbls = _tables_for_scan(scan, dc=True)
+        tbls = () if dyn else _tables_for_scan(scan, dc=True)
         kind = "dc_first"
     else:
-        tbls = _tables_for_scan(scan, dc=False)
+        tbls = () if dyn else _tables_for_scan(scan, dc=False)
         kind = "ac_first" if not refining else "ac_refine"
     return _ScanStatic(
         kind, tuple(scan.comp_indices), scan.interleaved,
         scan.ss, scan.se, scan.al, blk_sp, tbls,
         G=plan.n_groups, M=plan.n_mcus, W=plan.n_words,
         n_lanes=plan.n_lanes, img_view=tuple(plan.img_view),
-        lane_group=plan.lane_group,
+        lane_group=plan.lane_group, dyn=dyn,
     )
 
 
@@ -1308,11 +1264,16 @@ def _apply_static(
                 dcs[ii][ci] = dcs[ii][ci] | mask
         return None
 
-    bits, lane_m, seg_bits = arrs
+    bits, lane_m, seg_bits = arrs[:3]
+    tbl = arrs[3] if sk.dyn else None
     if sk.kind == "dc_first":
-        static = (sk.blk_sp, sk.tbls, sk.W, sk.al, sk.lane_group)
+        if sk.dyn:
+            static = (sk.blk_sp, sk.W, sk.al, sk.lane_group)
+        else:
+            static = (sk.blk_sp, sk.tbls, sk.W, sk.al, sk.lane_group)
         out, err = run_dc_first_jit(
-            bits, lane_m, seg_bits, static, sk.G, sk.M, interpret
+            bits, lane_m, seg_bits, static, sk.G, sk.M, interpret,
+            tbl=tbl,
         )
         B = len(sk.blk_sp)
         flat = _flat_lanes(out, sk.G, sk.M, B)
@@ -1325,11 +1286,15 @@ def _apply_static(
     # AC scans: single component (parser-enforced).
     ci = sk.comp_indices[0]
     _h, _v, phb, pwb, hb, wb = gs.comps[ci]
-    static = (sk.tbls, sk.W, sk.ss, sk.se, sk.al, sk.lane_group)
+    if sk.dyn:
+        static = (sk.W, sk.ss, sk.se, sk.al, sk.lane_group)
+    else:
+        static = (sk.tbls, sk.W, sk.ss, sk.se, sk.al, sk.lane_group)
 
     if sk.kind == "ac_first":
         out, err = run_ac_first_jit(
-            bits, lane_m, seg_bits, static, sk.G, sk.M, interpret
+            bits, lane_m, seg_bits, static, sk.G, sk.M, interpret,
+            tbl=tbl,
         )
         flat = _flat_lanes(out, sk.G, sk.M, 64)
         for ii in range(gs.n_images):
@@ -1352,7 +1317,8 @@ def _apply_static(
         sk.img_view, sk.G, sk.n_lanes, sk.M, priors, sk.lane_group
     )
     out, err = run_ac_refine_jit(
-        bits, lane_m, seg_bits, prior, static, sk.G, sk.M, interpret
+        bits, lane_m, seg_bits, prior, static, sk.G, sk.M, interpret,
+        tbl=tbl,
     )
     flat = _flat_lanes(out, sk.G, sk.M, 64)
     for ii in range(gs.n_images):
@@ -1407,12 +1373,16 @@ def apply_scan_batch(
             errs_out.append((err, plan))
 
 
-def scan_group_key(jpeg: bitstream.JpegData) -> Tuple:
+def scan_group_key(jpeg: bitstream.JpegData, tables: bool = True) -> Tuple:
     """Images whose keys match can share every scan's kernel launch:
     same frame geometry and an identical scan script — kind, band,
     successive-approximation position, component, and the bytes of each
     Huffman table a kernel will close over. Restart intervals and
-    segment lengths may differ (lanes carry their own MCU counts)."""
+    segment lengths may differ (lanes carry their own MCU counts).
+    With tables=False the table bytes are EXCLUDED — the compatibility
+    key of the table-DYNAMIC chain, which takes tables as runtime
+    operands (per-image optimized-table files of one scan-script shape
+    then share a single compiled program)."""
     frame = jpeg.frame
     parts: list = [
         frame.height, frame.width,
@@ -1433,7 +1403,8 @@ def scan_group_key(jpeg: bitstream.JpegData) -> Tuple:
         parts.append(
             (
                 scan.interleaved, tuple(scan.comp_indices),
-                scan.ss, scan.se, scan.ah, scan.al, tabs,
+                scan.ss, scan.se, scan.ah, scan.al,
+                tabs if tables else (),
             )
         )
     return tuple(parts)
@@ -1551,18 +1522,25 @@ def _prog_rgb_chain(gs: _GroupStatic, tkey: Tuple, interpret: bool):
 def _chain_statics(
     jpegs: Sequence[bitstream.JpegData],
     plans: Optional[List[Optional[ScanPlan]]] = None,
+    dyn: bool = False,
 ):
     """Shared host prep for the jitted whole-sequence chains: per-scan
-    plans -> (gs, arrs, masks, kernel_plans)."""
+    plans -> (gs, arrs, masks, kernel_plans). With dyn=True the scan
+    statics carry NO Huffman tables (they ride in arrs as [n_tbl,3,64]
+    operands) and plan widths snap to a coarse ladder, so one compiled
+    chain serves every per-image optimized-table file of this scan
+    script shape."""
     n_scans = len(jpegs[0].scans)
     if plans is None:
         plans = [
             None
             if jpegs[0].scans[k].ss == 0 and jpegs[0].scans[k].ah != 0
-            else ScanPlan(jpegs, k)
+            else ScanPlan(jpegs, k, w_snap=dyn)
             for k in range(n_scans)
         ]
-    sks = tuple(_scan_static(jpegs, k, plans[k]) for k in range(n_scans))
+    sks = tuple(
+        _scan_static(jpegs, k, plans[k], dyn=dyn) for k in range(n_scans)
+    )
     gs = _GroupStatic(
         n_images=len(jpegs),
         mcus_x=jpegs[0].frame.mcus_x,
@@ -1571,13 +1549,21 @@ def _chain_statics(
         scans=sks,
         frame_hw=(jpegs[0].frame.height, jpegs[0].frame.width),
     )
+
+    def _tbl_operand(k):
+        scan = jpegs[0].scans[k]
+        dc = scan.ss == 0
+        return jnp.asarray(np.stack([
+            dyn_table_pack(t) for t in _tables_for_scan(scan, dc=dc)
+        ]))
+
     arrs = tuple(
         None if p is None
         else (
             jnp.asarray(p.bits), jnp.asarray(p.lane_m),
             jnp.asarray(p.seg_bits),
-        )
-        for p in plans
+        ) + ((_tbl_operand(k),) if dyn else ())
+        for k, p in enumerate(plans)
     )
     masks = tuple(
         tuple(
@@ -1642,6 +1628,7 @@ def decode_all_scans_to_rgb_batch(
     config: DecodeConfig = DEFAULT_CONFIG,
     packed: bool = False,
     defer_errors: bool = False,
+    dyn: bool = False,
 ) -> Tuple[jnp.ndarray, str, object]:
     """Full progressive decode of a matching group as ONE jitted
     program: every scan kernel, the DC merges, dequant+IDCT and
@@ -1663,7 +1650,7 @@ def decode_all_scans_to_rgb_batch(
         if not jpeg.frame.progressive:
             raise JpegUnsupportedError("not a progressive frame")
     interpret = jax.default_backend() != "tpu"
-    gs, arrs, masks, kernel_plans = _chain_statics(jpegs)
+    gs, arrs, masks, kernel_plans = _chain_statics(jpegs, dyn=dyn)
     frame = jpegs[0].frame
     color = bitstream.color_space(jpegs[0])
     want_packed = packed and kp.packed_layout_applies(

@@ -174,9 +174,19 @@ def decode_batch_on_device(
                 sub = [jpegs[i] for i in members]
                 # ONE jitted program per group: scan kernels + transform
                 # (mixed quantizers fine — per-image dequant in XLA).
+                # Table policy: groups that SHARE tables amortize the
+                # baked chain's compile; a singleton group (the common
+                # case — libjpeg optimizes tables per image) takes the
+                # table-DYNAMIC chain, whose one compile per scan-script
+                # shape serves every such file (~1.2x slower kernels vs
+                # a 10-30 min compile per file).
+                if config.prog_tables == "auto":
+                    dyn = len(members) == 1
+                else:
+                    dyn = config.prog_tables == "dynamic"
                 rgb, _layout, deferred = (
                     wavefront_prog.decode_all_scans_to_rgb_batch(
-                        sub, config, defer_errors=True
+                        sub, config, defer_errors=True, dyn=dyn
                     )
                 )
                 pending.append((members, rgb, deferred))

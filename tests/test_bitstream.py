@@ -270,3 +270,20 @@ def test_find_scan_end_handcrafted_cases():
     for data, start in cases:
         assert bs._find_scan_end(data, start)[0] == _find_scan_end_serial(data, start)[0]
         assert list(bs._find_scan_end(data, start)[1]) == _find_scan_end_serial(data, start)[1]
+
+
+def test_dht_code_overflow_rejected():
+    """A DHT whose BITS counts overflow the canonical code space must
+    die at parse with a defined error (libjpeg jdhuff.c's exact bound —
+    PIL rejects the same streams, keeping the error oracle aligned)."""
+    from corpus import make_jpeg
+
+    data = bytearray(make_jpeg(64, 64, seed=1, subsampling=2))
+    # Find the first DHT segment and corrupt its BITS: 3 codes of
+    # length 1 can never fit (2^1 = 2).
+    i = 2
+    while data[i + 1] != 0xC4:
+        i += 2 + ((data[i + 2] << 8) | data[i + 3])
+    data[i + 5] = 3  # counts[0] (length-1 codes) = 3
+    with pytest.raises(JpegSyntaxError):
+        bs.parse(bytes(data))

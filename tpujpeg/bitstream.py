@@ -381,6 +381,21 @@ def parse(data: bytes) -> JpegData:
                 total = int(counts.sum())
                 if total > 256:
                     raise JpegSyntaxError("DHT has >256 symbols")
+                # Canonical-code overflow check, exactly libjpeg's
+                # jdhuff.c bound (code, one past the last assigned at
+                # length l, must fit in l bits — the all-ones code is
+                # rejected too): a corrupt table dies HERE with a
+                # defined error instead of reaching a decoder — or
+                # baking garbage constants into a fresh kernel compile.
+                code = 0
+                for l in range(1, 17):
+                    code += int(counts[l - 1])
+                    if code >= (1 << l):
+                        raise JpegSyntaxError(
+                            "bogus Huffman table: code overflow at "
+                            f"length {l}"
+                        )
+                    code <<= 1
                 values = np.frombuffer(cur.take(total), dtype=np.uint8).copy()
                 htables[(tc, th)] = HuffSpec(tc, th, counts, values)
         elif marker == M_DRI:

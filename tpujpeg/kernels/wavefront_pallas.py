@@ -100,6 +100,17 @@ def _pick_group(W: int, n_lanes: int, out_words: int) -> int:
     vmem_probe.py — per-jit compiler_options DOES ride the axon remote
     compile: 8192/16384-lane chains compiled fine at a 48 MB pool, but
     post-unroll they time WORSE than 4096, so the default stays put)."""
+    if jax.default_backend() != "tpu":
+        # Interpret mode (CPU tests) executes REAL vector work
+        # proportional to lane_group: padding a tiny test image's ~30
+        # lanes to the TPU's 2048-lane lockstep group made every
+        # interpret-mode kernel pay ~64x the arithmetic — measured
+        # 415 s to EXECUTE one 48x40 progressive chain, which is what
+        # actually made the cold suite hours long (round-4 blamed
+        # compiles; phase-split measurement says execution). Mosaic's
+        # (8, 128) tiling doesn't apply in interpret mode, so the
+        # group shrinks to the real lane count.
+        return max(SUBLANES, -(-n_lanes // SUBLANES) * SUBLANES)
     per_lane = 4 * (2 * W + 2 * max(out_words, 1) + 40)
     g = MAX_GROUP
     budget = VMEM_BUDGET_MB << 20

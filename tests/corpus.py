@@ -251,3 +251,104 @@ def make_multiscan_jpeg(
         out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def make_synth_jpeg(
+    w: int,
+    h: int,
+    hv=((1, 2), (1, 1), (1, 1)),
+    seed: int = 0,
+    qval: int = 16,
+    restart_blocks: int = 0,
+) -> bytes:
+    """Fully synthetic baseline JPEG with ARBITRARY sampling factors
+    (4:4:0, 4:1:1, ... — shapes PIL cannot ENCODE but libjpeg decodes),
+    written as per-component non-interleaved scans from random
+    coefficients. PIL is the pixel oracle for the exotic-upsampler
+    paths (replication for non-h2 ratios, per jdsample.c)."""
+    rng = np.random.default_rng(seed)
+    ncomp = len(hv)
+    hmax = max(x for x, _ in hv)
+    vmax = max(y for _, y in hv)
+
+    out = bytearray(b"\xff\xd8")
+    # JFIF APP0 so color_space resolves to ycbcr for 3 components.
+    out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    # DQT: one flat 8-bit table.
+    out += b"\xff\xdb\x00\x43\x00" + bytes([qval] * 64)
+    # SOF0.
+    body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [ncomp]
+    )
+    for i, (ch, cv) in enumerate(hv):
+        body += bytes([i + 1, (ch << 4) | cv, 0])
+    out += b"\xff\xc0" + (len(body) + 2).to_bytes(2, "big") + body
+    # Flat complete Huffman tables (see make_multiscan_jpeg).
+    dc_counts, dc_vals, dc_enc = _flat_table(list(range(12)), 5)
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_counts, ac_vals, ac_enc = _flat_table(ac_syms, 9)
+    body = bytes([0x00]) + dc_counts + dc_vals
+    out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+    body = bytes([0x10]) + ac_counts + ac_vals
+    out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+    if restart_blocks:
+        out += b"\xff\xdd\x00\x04" + restart_blocks.to_bytes(2, "big")
+
+    import math
+
+    for i, (ch, cv) in enumerate(hv):
+        dw = math.ceil(w * ch / hmax)
+        dh = math.ceil(h * cv / vmax)
+        wb, hb = math.ceil(dw / 8), math.ceil(dh / 8)
+        out += (
+            b"\xff\xda\x00\x08\x01" + bytes([i + 1, 0x00])
+            + b"\x00\x3f\x00"
+        )
+        bw = _BitWriter()
+        pred = 0
+        written = 0
+        seg = 0
+        for _bi in range(wb * hb):
+            if restart_blocks and written == restart_blocks:
+                bw.align()
+                bw.out += bytes([0xFF, 0xD0 + (seg % 8)])
+                seg += 1
+                pred = 0
+                written = 0
+            # Sparse random block: DC walk + a few small ACs.
+            row = np.zeros(64, np.int64)
+            row[0] = int(rng.integers(-80, 81))
+            nz = rng.integers(0, 5)
+            pos = rng.choice(np.arange(1, 64), size=nz, replace=False)
+            row[pos] = rng.integers(-30, 31, size=nz)
+            diff = int(row[0]) - pred
+            pred = int(row[0])
+            size, bits = _mag_bits(diff)
+            code, length = dc_enc[size]
+            bw.put(code, length)
+            if size:
+                bw.put(bits, size)
+            nzp = np.nonzero(row[1:])[0]
+            k = 1
+            for p in sorted(int(x) for x in nzp):
+                zz = p + 1
+                run = zz - k
+                while run > 15:
+                    code, length = ac_enc[0xF0]
+                    bw.put(code, length)
+                    run -= 16
+                size, bits = _mag_bits(int(row[zz]))
+                code, length = ac_enc[(run << 4) | size]
+                bw.put(code, length)
+                bw.put(bits, size)
+                k = zz + 1
+            if k < 64:
+                code, length = ac_enc[0x00]
+                bw.put(code, length)
+            written += 1
+        bw.align()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

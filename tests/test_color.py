@@ -144,3 +144,25 @@ def test_batch_on_device_cmyk():
     assert not res.errors
     for d, img in zip(datas, res.images):
         assert np.array_equal(np.asarray(img), _pil(d))
+
+
+@pytest.mark.parametrize("hv", [
+    ((1, 2), (1, 1), (1, 1)),   # 4:4:0 — libjpeg-turbo h1v2 FANCY path
+    ((4, 1), (1, 1), (1, 1)),   # 4:1:1-style wide luma (replication)
+    ((2, 2), (2, 1), (1, 2)),   # mixed: h1v2 + h2v1 chroma
+    ((1, 1), (1, 2), (2, 1)),   # subsampled luma vs full chroma
+])
+def test_exotic_sampling_factors_bit_exact(hv):
+    """Sampling-factor combinations PIL cannot ENCODE but libjpeg
+    decodes (synthetic coefficient streams, corpus.make_synth_jpeg).
+    The h1v2 'fancy' vertical upsampler (libjpeg-turbo's 4:4:0 path)
+    was missing until round 5 — replication decoded these wrong."""
+    import tpujpeg
+    from corpus import make_synth_jpeg, pil_decode
+
+    d = make_synth_jpeg(72, 56, hv=hv, seed=3, restart_blocks=4)
+    ref = pil_decode(d)
+    for eng in ("native", "wavefront"):
+        img = tpujpeg.decode(d, DecodeConfig(entropy_engine=eng))
+        np.testing.assert_array_equal(np.asarray(img), ref,
+                                      err_msg=f"{hv} {eng}")

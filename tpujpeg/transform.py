@@ -195,15 +195,35 @@ def upsample_int(plane: jnp.ndarray, h_expand: int, v_expand: int) -> jnp.ndarra
     return jnp.repeat(out, h_expand, axis=1)
 
 
+def upsample_h1v2_fancy(plane: jnp.ndarray) -> jnp.ndarray:
+    """h1v2_fancy_upsample (libjpeg-turbo jdsample.c, the 4:4:0 case):
+    [H, W] -> [2H, W]. Output row 2r blends input row r (x3) with r-1
+    (bias 1); row 2r+1 blends r with r+1 (bias 2); edges replicate.
+    Validated bit-exactly against PIL on synthetic 4:4:0 streams
+    (tests/test_color.py)."""
+    p = plane.astype(jnp.int32)
+    up = jnp.concatenate([p[:1], p[:-1]], axis=0)     # row r-1, clamped
+    down = jnp.concatenate([p[1:], p[-1:]], axis=0)   # row r+1, clamped
+    even = (3 * p + up + 1) >> 2
+    odd = (3 * p + down + 2) >> 2
+    out = jnp.stack([even, odd], axis=1)  # [H, 2, W]
+    return out.reshape(plane.shape[0] * 2, plane.shape[1]).astype(
+        plane.dtype
+    )
+
+
 def upsample_component(
     plane: jnp.ndarray, h_expand: int, v_expand: int, fancy: bool = True
 ) -> jnp.ndarray:
-    """Dispatch mirroring jdsample.c master selection: fullsize, h2v1
-    fancy, h2v2 fancy, else integer replication."""
+    """Dispatch mirroring jdsample.c master selection (libjpeg-turbo:
+    fullsize, h2v1 fancy, h1v2 fancy, h2v2 fancy, else integer
+    replication)."""
     if h_expand == 1 and v_expand == 1:
         return plane
     if fancy and h_expand == 2 and v_expand == 1:
         return upsample_h2v1_fancy(plane)
+    if fancy and h_expand == 1 and v_expand == 2:
+        return upsample_h1v2_fancy(plane)
     if fancy and h_expand == 2 and v_expand == 2:
         return upsample_h2v2_fancy(plane)
     return upsample_int(plane, h_expand, v_expand)

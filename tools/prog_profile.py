@@ -55,8 +55,18 @@ def main():
 
     # Sync discipline: a tiny device-side reduction whose readback
     # forces completion — reading the full array would measure the
-    # ~33 MB/s relay, not the chip (CLAUDE.md).
-    _scal = jax.jit(lambda x: jnp.sum(x.reshape(-1)[:8].astype(jnp.int32)))
+    # ~33 MB/s relay, not the chip (CLAUDE.md). Slice leading dims
+    # rather than reshape(-1): flattening a big NHWC u8 array makes XLA
+    # materialize a (8,128)-tiled copy of the WHOLE array (measured:
+    # 16 GB HBM OOM on [8,4096,4096,3] u8 — 42.7x tile-padding).
+    _scal = jax.jit(
+        lambda x: jnp.sum(
+            jax.lax.slice(
+                x, (0,) * x.ndim,
+                (1,) * (x.ndim - 1) + (min(8, x.shape[-1]),),
+            ).astype(jnp.int32)
+        )
+    )
 
     def sync(x):
         return int(_scal(x))

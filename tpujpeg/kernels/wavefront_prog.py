@@ -762,11 +762,15 @@ def _make_ac_refine_kernel(static, dyn: bool = False):
         def cond(step):
             return jnp.any(mode_ref[:] != _MODE_DONE) & (step < 128)
 
-        def substep(cur, rw0, rw1, k, kstop, place, tail, eob, mode,
+        def substep(cv, cur, rw0, rw1, k, kstop, place, tail, eob, mode,
                     err, done):
             """One symbol + one <=32-bit correction chunk for every
-            lane, registers in/out; mutates out_ref in place."""
-            cv = out_ref[0, 0]  # [64, 8, K] current band values
+            lane, registers in/out. cv is the [64, 8, K] band block,
+            carried in REGISTERS across the trip's substeps (safe: every
+            update this substep makes lands at positions < the next
+            substep's k, and all band tests are masked to kiota >= k, so
+            substep 2 never reads a row substep 1 wrote); body() writes
+            it back to out_ref once per trip."""
 
             # --- Symbol decode (mode SYMBOL). ---
             dec = mode == _MODE_SYMBOL
@@ -795,27 +799,29 @@ def _make_ac_refine_kernel(static, dyn: bool = False):
             # (derived arithmetically below).
             run = dec & ~is_eob
             in_lo = kiota >= k[None]
-            zero_j = (cv == 0) & in_lo & (kiota <= se)
-            # Non-run lanes count nonzeros INSIDE their range: EOB
-            # lanes' range ends past the band (se+1, set below), range-
-            # continuation lanes' at their stored kstop.
+            # ONE windowed mask serves both jobs (saves a full second
+            # [64,..] mask + select — this kernel is ISSUE-bound on its
+            # band-shaped ops, unlike the latency-bound baseline): run
+            # lanes count ZEROS in [k..se], EOB/range lanes count
+            # NONZEROS in [k..kstop_eff) — (cv==0) XOR ~run folds the
+            # two value tests into one compare pair.
             kstop_eff = jnp.where(dec, se + 1, kstop)
-            nz_in = (cv != 0) & in_lo & (kiota < kstop_eff[None])
-            # int32 select, not bool: Mosaic rejects the i8->i1 trunc a
-            # bool-valued where materializes at this width.
-            mask = jnp.where(
-                run[None], zero_j.astype(jnp.int32),
-                nz_in.astype(jnp.int32),
-            )
+            mask = (
+                ((cv == 0) ^ (~run[None])) & in_lo
+                & (kiota < kstop_eff[None])
+            ).astype(jnp.int32)
             mcum = _cumsum64(mask)
             # Nonzeros in the whole [k..bound) window, closed form — the
             # bottom row of the cumsum (static slice, no reduce).
             row_se = mcum[se]
             target = jnp.where(ds > 0, rr + 1, 16)
-            hit = jnp.where(
-                zero_j & (mcum == target[None]), kiota, 64
+            # Stop position, closed form: mcum is monotone, so the count
+            # of rows with mcum < target IS the 0-based index of the
+            # target-th zero (count 64 = not in band). Replaces the old
+            # where(hit)+min-reduce with one compare + sum-reduce.
+            kstop_found = jnp.sum(
+                (mcum < target[None]).astype(jnp.int32), axis=0
             )
-            kstop_found = jnp.min(hit, axis=0)
             notfound = kstop_found >= 64
             err = jnp.where(badc | bads, _ERR_BADCODE, err)
             err = jnp.where(run & (ds > 0) & notfound, _ERR_RUN, err)
@@ -849,7 +855,7 @@ def _make_ac_refine_kernel(static, dyn: bool = False):
             # window's bits MSB-first. ---
             rng = (mode == _MODE_RANGE) & (err == 0)
             win2 = _win_from_regs(rw0, rw1, cur1)
-            nz_j = nz_in & (kiota < kstop[None])
+            nz_j = (cv != 0) & in_lo & (kiota < kstop[None])
             # Rank of each nonzero among the range's nonzeros, 0-based:
             # decode lanes derive it from the zeros cumsum (positions -
             # zeros), range-continuation lanes read it directly.
@@ -873,8 +879,8 @@ def _make_ac_refine_kernel(static, dyn: bool = False):
             # happens when its range completes (kstop <= se only for
             # placing lanes; EOB/ZRL ranges carry place == 0).
             placing = complete & (place != 0)
-            out_ref[0, 0] = (
-                out_ref[0, 0]
+            cv = (
+                cv
                 + jnp.where(do_fix, delta, 0)
                 + jnp.where(
                     (kiota == kstop[None]) & placing[None],
@@ -894,18 +900,21 @@ def _make_ac_refine_kernel(static, dyn: bool = False):
                 mode,
             )
             mode = jnp.where(err != 0, _MODE_DONE, mode)
-            return (cur2, rw0, rw1, k, kstop, place, tail, eob, mode,
-                    err, done)
+            return (cv, cur2, rw0, rw1, k, kstop, place, tail, eob,
+                    mode, err, done)
 
         def body(step):
-            st = (cur_ref[:], w0_ref[:], w1_ref[:], k_ref[:],
-                  kstop_ref[:], place_ref[:], tail_ref[:], eob_ref[:],
-                  mode_ref[:], err_acc_ref[:], done_ref[:])
+            # Band block read ONCE per trip into registers, written once
+            # at the end (was a read+write per substep); it must NOT be
+            # a while-loop carry — Mosaic copies carries every trip.
+            st = (out_ref[0, 0], cur_ref[:], w0_ref[:], w1_ref[:],
+                  k_ref[:], kstop_ref[:], place_ref[:], tail_ref[:],
+                  eob_ref[:], mode_ref[:], err_acc_ref[:], done_ref[:])
             for _ in range(2):  # two substeps amortize the scratch
                 st = substep(*st)  # round + the cond's any-reduce
-            (cur_ref[:], w0_ref[:], w1_ref[:], k_ref[:], kstop_ref[:],
-             place_ref[:], tail_ref[:], eob_ref[:], mode_ref[:],
-             err_acc_ref[:], done_ref[:]) = st
+            (out_ref[0, 0], cur_ref[:], w0_ref[:], w1_ref[:], k_ref[:],
+             kstop_ref[:], place_ref[:], tail_ref[:], eob_ref[:],
+             mode_ref[:], err_acc_ref[:], done_ref[:]) = st
             return step + 1
 
         jax.lax.while_loop(cond, body, jnp.int32(0))
